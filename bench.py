@@ -1,0 +1,227 @@
+"""Benchmark: batched NN-f whole-trace ODE solves/sec on TPU vs the
+reference's torchdiffeq-CPU-style runtime.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload: the universal hot path (SURVEY.md §3.1) — simulate the NN-f neural
+ODE (MLP 2->200x6->1) over an 8 s sinewave-style protocol sampled at 0.1 ms
+(80001 knots), dense output on a 4001-point grid (reference prediction_t3,
+train-s1.py:272), batched over a 32-member parameter population (the CMA-ES /
+sweep axis that replaces PINTS multiprocessing).
+
+Baseline: the reference's runtime behaviour — torch MLP, per-RHS-eval scipy
+interp1d with device->host round trips (train-s1.py:224-245), and an
+adaptive dopri5 with torchdiffeq's default tolerances (rtol 1e-7, atol 1e-9)
+on CPU.  Measured once and cached in BASELINE_CPU.json (hardware-stable).
+Ours runs f32 at tolerances verified (tests/test_solver.py) to stay ~3e-5 of
+an f64 1e-11-tolerance oracle — far inside the 1e-3 RMSE acceptance.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_CPU.json")
+BATCH = 32
+N_OUT = 4001
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def sinewave_voltage(t: np.ndarray) -> np.ndarray:
+    """Sinewave-style protocol (Beattie-2018-like): hold, leak step, then a
+    sum-of-three-sines exploration segment."""
+    v = np.full(t.shape, -80.0)
+    v[(t >= 250) & (t < 300)] = -120.0
+    v[(t >= 500) & (t < 1000)] = 40.0
+    m = (t >= 1000) & (t < 7000)
+    tm = t[m] - 1000.0
+    v[m] = (-30.0 + 54.0 * np.sin(0.007 * tm) + 26.0 * np.sin(0.037 * tm)
+            + 10.0 * np.sin(0.19 * tm))
+    return v
+
+
+def measure_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(BASELINE_FILE), ".jax_cache"))
+
+    from ionflux import protocols as P
+    from ionflux.models import nnf_init, nnf_rhs
+    from ionflux.models.registry import HH_B06
+    from ionflux.solver import odeint
+
+    knots = np.linspace(0.0, 8000.0, 80001)
+    proto = P.Protocol(jnp.float32(0.0), jnp.float32(0.1),
+                       jnp.asarray(sinewave_voltage(knots), jnp.float32))
+    ts = jnp.linspace(0.0, 8000.0, N_OUT, dtype=jnp.float32)
+    y0 = jnp.array([0.0, 1.0], jnp.float32)
+
+    base = nnf_init(jax.random.PRNGKey(0), HH_B06)
+    # population of 32 perturbed parameter sets (CMA-ES-style batch axis)
+    keys = jax.random.split(jax.random.PRNGKey(1), BATCH)
+    pop_net = jax.vmap(
+        lambda k: jax.tree.map(
+            lambda x: x * (1.0 + 0.01 * jax.random.normal(k, x.shape)),
+            base.net)
+    )(keys)
+
+    def rhs(t, y, args):
+        net, proto = args
+        from ionflux.models.nn import NNfParams
+        return nnf_rhs(NNfParams(net=net, rgate=HH_B06), t, y, P.voltage(proto, t))
+
+    def solve_one(net):
+        return odeint(rhs, y0, ts, (net, proto), rtol=1e-5, atol=1e-7,
+                      buffer_size=2048)
+
+    batched = jax.jit(jax.vmap(solve_one))
+    out = batched(pop_net)
+    out.block_until_ready()  # compile + warmup
+    assert bool(jax.numpy.all(jax.numpy.isfinite(out))), "solve diverged"
+
+    n_rep = 5
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = batched(pop_net)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_rep
+    solves_per_sec = BATCH / dt
+    log(f"tpu: {BATCH} solves in {dt*1e3:.1f} ms -> {solves_per_sec:.2f} solves/s")
+    return solves_per_sec
+
+
+def measure_torch_cpu_baseline() -> float:
+    """Reference-style runtime: torch MLP + per-eval scipy interp1d round
+    trip + adaptive dopri5 (torchdiffeq defaults rtol 1e-7/atol 1e-9)."""
+    import torch
+    from scipy.interpolate import interp1d
+
+    from ionflux.solver.dopri5 import _A, _B_ERR, _B_SOL, _C
+    from ionflux.models.registry import HH_B06
+
+    torch.manual_seed(0)
+    net = torch.nn.Sequential(
+        torch.nn.Linear(2, 200), torch.nn.LeakyReLU(),
+        torch.nn.Linear(200, 200), torch.nn.LeakyReLU(),
+        torch.nn.Linear(200, 200), torch.nn.LeakyReLU(),
+        torch.nn.Linear(200, 200), torch.nn.LeakyReLU(),
+        torch.nn.Linear(200, 200), torch.nn.LeakyReLU(),
+        torch.nn.Linear(200, 200), torch.nn.LeakyReLU(),
+        torch.nn.Linear(200, 1),
+    )
+    for m in net.modules():
+        if isinstance(m, torch.nn.Linear):
+            torch.nn.init.normal_(m.weight, 0.0, 0.1)
+            torch.nn.init.constant_(m.bias, 0.0)
+    p5, p6, p7, p8 = (float(HH_B06.p5), float(HH_B06.p6), float(HH_B06.p7),
+                      float(HH_B06.p8))
+
+    knots = np.linspace(0.0, 8000.0, 80001)
+    vfun = interp1d(knots, sinewave_voltage(knots))
+
+    def rhs(t, y):
+        # the reference's per-eval device->host->scipy->device round trip
+        # (train-s1.py:224-225, 231-247)
+        tv = float(t.detach().cpu().numpy())
+        try:
+            v = torch.from_numpy(np.asarray(vfun([tv])))
+        except ValueError:
+            v = torch.tensor([-80.0], dtype=torch.float64)
+        a, r = y[0, 0], y[0, 1]
+        k3 = p5 * torch.exp(p6 * v)
+        k4 = p7 * torch.exp(-p8 * v)
+        drdt = -k3 * r + k4 * (1.0 - r)
+        nv = v / 100.0
+        dadt = net(torch.stack([nv[0], a]).float()) / 1000.0
+        return torch.stack([dadt[0].double(), drdt[0]]).reshape(1, -1)
+
+    A = torch.tensor(_A)
+    C = torch.tensor(_C)
+    BS = torch.tensor(_B_SOL)
+    BE = torch.tensor(_B_ERR)
+    rtol, atol = 1e-7, 1e-9
+
+    ts = np.linspace(0.0, 8000.0, N_OUT)
+    y = torch.tensor([[0.0, 1.0]], dtype=torch.float64)
+    t = torch.tensor(0.0, dtype=torch.float64)
+    f = rhs(t, y)
+    h = torch.tensor(1e-2, dtype=torch.float64)
+    t_end = 8000.0
+    n_eval = 0
+    t0 = time.perf_counter()
+    max_wall = 600.0
+    with torch.no_grad():
+        while float(t) < t_end:
+            h = torch.minimum(h, torch.tensor(t_end) - t)
+            k = [f]
+            for i in range(1, 7):
+                yi = y + h * sum(A[i, j] * k[j] for j in range(i))
+                k.append(rhs(t + C[i] * h, yi))
+                n_eval += 1
+            y1 = y + h * sum(BS[j] * k[j] for j in range(7))
+            err = h * sum(BE[j] * k[j] for j in range(7))
+            scale = atol + rtol * torch.maximum(y.abs(), y1.abs())
+            ratio = float(torch.sqrt(torch.mean((err / scale) ** 2)))
+            if ratio <= 1.0:
+                t = t + h
+                y = y1
+                f = k[6]
+            factor = min(max(0.9 * ratio ** -0.2, 0.2), 10.0 if ratio <= 1 else 1.0)
+            h = h * factor
+            if time.perf_counter() - t0 > max_wall:
+                # extrapolate: solves/sec from fraction completed
+                frac = float(t) / t_end
+                dt_est = (time.perf_counter() - t0) / max(frac, 1e-3)
+                log(f"baseline: timed out at {frac*100:.0f}%, extrapolating "
+                    f"{dt_est:.0f}s/solve")
+                return 1.0 / dt_est
+    dt = time.perf_counter() - t0
+    log(f"baseline torch-cpu: 1 solve in {dt:.1f}s ({n_eval} RHS evals) "
+        f"-> {1.0/dt:.4f} solves/s")
+    return 1.0 / dt
+
+
+def get_baseline() -> float:
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as fh:
+            d = json.load(fh)
+        log(f"baseline (cached): {d['solves_per_sec']:.4f} solves/s")
+        return float(d["solves_per_sec"])
+    sps = measure_torch_cpu_baseline()
+    with open(BASELINE_FILE, "w") as fh:
+        json.dump({
+            "solves_per_sec": sps,
+            "what": "reference-style torch-CPU NN-f dopri5 solve, "
+                    "sinewave 8s/0.1ms protocol, rtol 1e-7 atol 1e-9, "
+                    "per-eval scipy interp1d round trip",
+        }, fh, indent=1)
+    return sps
+
+
+def main():
+    baseline = get_baseline()
+    ours = measure_tpu()
+    print(json.dumps({
+        "metric": "nnf_sinewave_batched_solves_per_sec",
+        "value": round(ours, 3),
+        "unit": "solves/s",
+        "vs_baseline": round(ours / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

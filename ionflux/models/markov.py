@@ -12,9 +12,12 @@ import jax.numpy as jnp
 from ionflux.models.registry import MarkovParams
 
 # Initial conditions (train-d1.py:117-118): holding at -80 mV puts the channel
-# in c2; holding at +40 mV in the inactivated state i.
-MARKOV_Y0_REST = jnp.array([0.0, 1.0, 0.0, 0.0, 0.0, 0.0], dtype=jnp.float32)
-MARKOV_Y0_INACT = jnp.array([0.0, 0.0, 1.0, 0.0, 0.0, 0.0], dtype=jnp.float32)
+# in c2; holding at +40 mV in the inactivated state i. Host-side numpy so
+# module import never touches a backend.
+import numpy as _np
+
+MARKOV_Y0_REST = _np.array([0.0, 1.0, 0.0, 0.0, 0.0, 0.0], dtype=_np.float32)
+MARKOV_Y0_INACT = _np.array([0.0, 0.0, 1.0, 0.0, 0.0, 0.0], dtype=_np.float32)
 
 
 def markov_rates(p: MarkovParams, v: jnp.ndarray):

@@ -14,52 +14,56 @@ values by 1e-3).  Sources, with the reference lines that embed them:
 - ``CELL5``       real cell-5 r-gate + conductance/reversal constants
                   (train-r1.py:42-47, 170-174; upstream FourWaysOfFitting)
 - ``R0BAD_FIT``   the r0-bad CMA-ES result (r0-bad/model-parameters.txt)
+
+Parameter sets are stored as host-side numpy scalars (NOT device arrays):
+module import must never touch a JAX backend, and scalars flow into jit as
+ordinary traced leaves.
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax.numpy as jnp
+import numpy as np
 
 
 class HHParams(NamedTuple):
     """8-parameter HH IKr: k1=p1*exp(p2*V), k2=p3*exp(-p4*V) for the a-gate;
     k3=p5*exp(p6*V), k4=p7*exp(-p8*V) for the r-gate."""
 
-    p1: jnp.ndarray
-    p2: jnp.ndarray
-    p3: jnp.ndarray
-    p4: jnp.ndarray
-    p5: jnp.ndarray
-    p6: jnp.ndarray
-    p7: jnp.ndarray
-    p8: jnp.ndarray
+    p1: float
+    p2: float
+    p3: float
+    p4: float
+    p5: float
+    p6: float
+    p7: float
+    p8: float
 
 
 class MarkovParams(NamedTuple):
     """12-parameter 3-state Markov chain (c1,c2,i,ic1,ic2,o)."""
 
-    p1: jnp.ndarray
-    p2: jnp.ndarray
-    p3: jnp.ndarray
-    p4: jnp.ndarray
-    p5: jnp.ndarray
-    p6: jnp.ndarray
-    p7: jnp.ndarray
-    p8: jnp.ndarray
-    p9: jnp.ndarray
-    p10: jnp.ndarray
-    p11: jnp.ndarray
-    p12: jnp.ndarray
+    p1: float
+    p2: float
+    p3: float
+    p4: float
+    p5: float
+    p6: float
+    p7: float
+    p8: float
+    p9: float
+    p10: float
+    p11: float
+    p12: float
 
 
 def _hh(*vals) -> HHParams:
-    return HHParams(*[jnp.float32(v) for v in vals])
+    return HHParams(*[np.float32(v) for v in vals])
 
 
 def _markov(*vals) -> MarkovParams:
-    return MarkovParams(*[jnp.float32(v) for v in vals])
+    return MarkovParams(*[np.float32(v) for v in vals])
 
 
 # Candidate HH, hERG25oC1 cell B06 (train-s1.py:139-146), published s^-1 -> ms^-1.
@@ -111,10 +115,10 @@ HH_D0_FIT = _hh(
 # Real cell-5 r-gate, already in ms^-1 (train-r1.py:171-174); a-gate initial
 # guess p1-p4 as used for pretraining (train-r1.py:849-852).
 CELL5_RGATE = (
-    jnp.float32(8.73243709432939552e-02),
-    jnp.float32(7.33380025549188515e-03),
-    jnp.float32(6.16551007196145754e-03),
-    jnp.float32(3.15741310933875322e-02),
+    np.float32(8.73243709432939552e-02),
+    np.float32(7.33380025549188515e-03),
+    np.float32(6.16551007196145754e-03),
+    np.float32(3.15741310933875322e-02),
 )
 HH_CELL5_INIT = _hh(1.13e-4, 7.45e-2, 3.60e-5, 4.49e-2, *CELL5_RGATE)
 
@@ -127,18 +131,18 @@ HH_R0BAD_FIT = _hh(
 class Constants(NamedTuple):
     """Observation constants: I = g * a * r * (V - e)."""
 
-    g: jnp.ndarray  # conductance
-    e: jnp.ndarray  # reversal potential, mV
+    g: float  # conductance
+    e: float  # reversal potential, mV
 
 
 # Synthetic studies: g=1, E=-86 (train-s1.py:609-610; observation V+86).
-SYNTHETIC = Constants(jnp.float32(1.0), jnp.float32(-86.0))
+SYNTHETIC = Constants(np.float32(1.0), np.float32(-86.0))
 
 # d-study tables use E=-88.4 with g=1 (table-1.py:32-37).
-TABLE1 = Constants(jnp.float32(1.0), jnp.float32(-88.4))
+TABLE1 = Constants(np.float32(1.0), np.float32(-88.4))
 
 # Real cell-5: g from FourWaysOfFitting, E = -88.4 mV (train-r1.py:42-45).
-CELL5_RAW = Constants(jnp.float32(0.133898199260611944), jnp.float32(-88.4))
+CELL5_RAW = Constants(np.float32(0.133898199260611944), np.float32(-88.4))
 
 # r1 fudged constants: g*=1.2, E-=5 (train-r1.py:46-47).
 CELL5_R1 = Constants(CELL5_RAW.g * 1.2, CELL5_RAW.e - 5.0)
@@ -147,7 +151,7 @@ CELL5_R1 = Constants(CELL5_RAW.g * 1.2, CELL5_RAW.e - 5.0)
 CELL5_R2 = Constants(CELL5_RAW.g * 1.2, CELL5_RAW.e)
 
 # r1-bad conductance (train-r1-bad.py diff: g=0.1524).
-CELL5_R1BAD = Constants(jnp.float32(0.1524), CELL5_RAW.e - 5.0)
+CELL5_R1BAD = Constants(np.float32(0.1524), CELL5_RAW.e - 5.0)
 
 VRANGE = 100.0   # NN input voltage scale (train-s1.py:207)
 NETSCALE = 1000.0  # NN output scale (train-s1.py:208)

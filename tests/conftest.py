@@ -16,6 +16,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# The axon sitecustomize forces jax_platforms="axon,cpu"; override in-process
+# so tests run on the virtual 8-device CPU backend regardless.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # CPU parity tests run in f64
 # Persistent compilation cache: first-time vmap(while_loop) compiles are slow
 # on the CPU backend; cache them across test runs.

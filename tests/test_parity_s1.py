@@ -1,0 +1,91 @@
+"""Parity vs the reference's stored s1 artifacts.
+
+Loads the reference's trained NN-f weights (s1/model-state-dict.pt) through
+the torch-free reader and reproduces every validation MAE that the reference
+archived in s1/log2 and that needs no missing data file:
+
+  AP2Hz + 7 activation steps + 9 deactivation steps + 6 atau durations = 23.
+
+Each MAE compares the NN-f prediction against the HH ground truth, both
+simulated by OUR solver — so agreement with the torchdiffeq-computed log
+values validates protocols, models, weight import and solver end to end.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ionflux import protocols as P
+from ionflux.models import hh_rhs, nnf_rhs
+from ionflux.models.nn import NNfParams
+from ionflux.models.registry import HH_B06, SYNTHETIC
+from ionflux.observe import gate_current, mae
+from ionflux.solver import odeint
+from ionflux.utils import load_mlp_state_dict
+
+# s1/log2:4-7 and the per-level blocks below it
+LOG2_AP2HZ = 0.018039
+LOG2_ACT = [0.024931, 0.030920, 0.084156, 0.033145, 0.057890, 0.033360, 0.046067]
+LOG2_DEACT = [0.017956, 0.023567, 0.011322, 0.014902, 0.014713, 0.015630,
+              0.029707, 0.037441, 0.051834]
+LOG2_ATAU = [0.014351, 0.015115, 0.014259, 0.011380, 0.011329, 0.029237]
+
+TOL = 3e-4
+Y0 = jnp.array([0.0, 1.0], jnp.float32)
+
+
+def rhs_gt(t, y, args):
+    return hh_rhs(args[0], t, y, P.voltage(args[1], t))
+
+
+def rhs_nn(t, y, args):
+    return nnf_rhs(args[0], t, y, P.voltage(args[1], t))
+
+
+@pytest.fixture(scope="module")
+def nnf(reference_dir):
+    net = [(jnp.asarray(w), jnp.asarray(b)) for w, b in
+           load_mlp_state_dict(f"{reference_dir}/s1/model-state-dict.pt")]
+    return NNfParams(net=net, rgate=HH_B06)
+
+
+def family_maes(nnf, protos, ts):
+    """Vmapped gt + NN-f solves over a stacked protocol family -> MAEs."""
+    b = P.stack(protos)
+
+    def one(pr):
+        yt = odeint(rhs_gt, Y0, ts, (HH_B06, pr), rtol=1e-6, atol=1e-8)
+        yp = odeint(rhs_nn, Y0, ts, (nnf, pr), rtol=1e-6, atol=1e-8)
+        v = P.voltage(pr, ts)
+        return mae(gate_current(yp, v, SYNTHETIC), gate_current(yt, v, SYNTHETIC))
+
+    return np.asarray(jax.vmap(one)(b))
+
+
+def test_ap2hz_validation_mae(nnf, reference_dir):
+    proto = P.load_csv(f"{reference_dir}/test-protocols/ap2hz.csv")
+    ts = jnp.linspace(0.0, 3000.0, 1501, dtype=jnp.float32)
+    got = family_maes(nnf, [proto], ts)[0]
+    assert abs(got - LOG2_AP2HZ) < TOL
+
+
+def test_activation_validation_maes(nnf):
+    # train-s1.py:429-465 (1 ms prediction grid)
+    ts = jnp.linspace(0.0, 8000.0, 8001, dtype=jnp.float32)
+    got = family_maes(nnf, P.activation_family(dt_ms=1.0), ts)
+    np.testing.assert_allclose(got, LOG2_ACT, atol=TOL)
+
+
+def test_deactivation_validation_maes(nnf):
+    # train-s1.py:469-505
+    ts = jnp.linspace(0.0, 10000.0, 10001, dtype=jnp.float32)
+    got = family_maes(nnf, P.deactivation_family(dt_ms=1.0), ts)
+    np.testing.assert_allclose(got, LOG2_DEACT, atol=TOL)
+
+
+def test_atau_validation_maes(nnf):
+    # train-s1.py:508-542
+    ts = jnp.linspace(0.0, 5000.0, 5001, dtype=jnp.float32)
+    got = family_maes(nnf, P.atau_family(dt_ms=1.0), ts)
+    np.testing.assert_allclose(got, LOG2_ATAU, atol=TOL)
