@@ -1,0 +1,131 @@
+"""Evaluation / replay harness (layer L6): simulate any model family on any
+protocol, per-protocol MAE reports, parity helpers.
+
+Model kinds mirror the reference classes: 'hh' (Lambda), 'markov'
+(3-state Lambda/GroundTruth), 'nnf' (ODEFunc), 'nnd' (ODEFunc w/ _dadt),
+'gta' (GroundTruth_a).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ionflux import protocols as P
+from ionflux.models import (
+    gt_a_rhs,
+    hh_rhs,
+    markov_rhs,
+    nnd_rhs,
+    nnf_rhs,
+    MARKOV_Y0_REST,
+)
+from ionflux.models.registry import Constants
+from ionflux.observe import gate_current, mae, markov_current
+from ionflux.solver import odeint
+
+_RHS = {
+    "hh": hh_rhs,
+    "markov": markov_rhs,
+    "nnf": nnf_rhs,
+    "nnd": nnd_rhs,
+    "gta": gt_a_rhs,
+}
+
+
+def _make_rhs(core):
+    def rhs(t, y, args):
+        params, proto = args
+        return core(params, t, y, P.voltage(proto, t))
+
+    return rhs
+
+
+# memoized ONCE per kind: odeint's jit cache is keyed on rhs identity, so a
+# fresh closure per call would force a recompile per call
+_MODEL_RHS = {kind: _make_rhs(core) for kind, core in _RHS.items()}
+
+
+def _model_rhs(kind):
+    return _MODEL_RHS[kind]
+
+
+def default_y0(kind: str, dtype=jnp.float32) -> jnp.ndarray:
+    """Rest state after holding at -80 mV (true_y0s[1] / gt_true_y0s[1],
+    train-s1.py:115-118, train-d1.py:115-118)."""
+    if kind == "markov":
+        return jnp.asarray(MARKOV_Y0_REST, dtype)
+    return jnp.asarray(np.array([0.0, 1.0]), dtype)
+
+
+def solve_states(kind: str, params, proto: P.Protocol, ts: jnp.ndarray,
+                 y0=None, rtol=1e-6, atol=1e-8, **kw):
+    if y0 is None:
+        y0 = default_y0(kind, ts.dtype)
+    return odeint(_model_rhs(kind), y0, ts, (params, proto),
+                  rtol=rtol, atol=atol, **kw)
+
+
+def simulate(kind: str, params, proto: P.Protocol, ts: jnp.ndarray,
+             c: Constants, y0=None, rtol=1e-6, atol=1e-8, **kw) -> jnp.ndarray:
+    """Observed current for any model family on a protocol."""
+    ys = solve_states(kind, params, proto, ts, y0, rtol, atol, **kw)
+    v = P.voltage(proto, ts)
+    if kind == "markov":
+        return markov_current(ys, v, c)
+    return gate_current(ys, v, c)
+
+
+def simulate_family(kind: str, params, protos: list[P.Protocol],
+                    ts: jnp.ndarray, c: Constants, vmapped: bool = False,
+                    **kw) -> jnp.ndarray:
+    """Currents over a same-length protocol family -> [B, T].
+
+    Sequential by default (one cheap compile, B executions); vmapped=True
+    for throughput paths that amortize the larger XLA compile.
+    """
+    if vmapped:
+        b = P.stack(protos)
+        return jax.vmap(lambda pr: simulate(kind, params, pr, ts, c, **kw))(b)
+    return jnp.stack([simulate(kind, params, pr, ts, c, **kw) for pr in protos])
+
+
+def report_mae(name: str, pred: jnp.ndarray, truth: jnp.ndarray,
+               fmt: str = "{name} | Total Loss {loss:.6f}") -> float:
+    """Print the reference's per-protocol loss line (train-s1.py:330 etc.)."""
+    loss = float(mae(pred, truth))
+    print(fmt.format(name=name, loss=loss))
+    return loss
+
+
+def pad_protocol(proto: P.Protocol, n_knots: int) -> P.Protocol:
+    """Extend a protocol to n_knots by repeating its final value.  Padded
+    region is beyond every query time, so results are unchanged — this
+    canonicalizes shapes so ALL protocols share ONE compiled solve."""
+    cur = proto.v.shape[-1]
+    if cur >= n_knots:
+        return proto
+    pad = jnp.full((n_knots - cur,), proto.v[-1], proto.v.dtype)
+    return P.Protocol(proto.t0, proto.dt, jnp.concatenate([proto.v, pad]))
+
+
+def simulate_cases(kind: str, params, cases, c: Constants, **kw):
+    """Simulate many (proto, ts) cases through a single compiled solve.
+
+    cases: list of (proto, ts). Pads protocols to the max knot count and
+    output grids to the max length (repeating t_end — dense output at a
+    repeated time is free), then slices each result back. Avoids one XLA
+    compile per distinct protocol/grid shape (expensive over the remote
+    TPU compile service).
+    """
+    n_knots = max(case[0].v.shape[-1] for case in cases)
+    n_ts = max(case[1].shape[-1] for case in cases)
+    out = []
+    for proto, ts in cases:
+        t_len = ts.shape[-1]
+        ts_pad = jnp.concatenate(
+            [ts, jnp.full((n_ts - t_len,), ts[-1], ts.dtype)])
+        i = simulate(kind, params, pad_protocol(proto, n_knots), ts_pad, c, **kw)
+        out.append(i[:t_len])
+    return out

@@ -1,0 +1,48 @@
+"""Shared CLI scaffolding for the study scripts (mirrors the reference's
+per-script argparse flags, train-s1.py:20-27)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+
+def study_parser(desc: str, real: bool = False) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(desc)
+    p.add_argument("--method", type=str, choices=["dopri5", "adams"],
+                   default="dopri5")
+    p.add_argument("--adjoint", action="store_true")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--pred", action="store_true")
+    p.add_argument("--cached", action="store_true")
+    if real:
+        p.add_argument("--smoothi", action="store_true")
+        p.add_argument("--info", type=str, default=None,
+                       help="architecture id s00..s11 (r1-tune sweep)")
+    # framework additions
+    p.add_argument("--iters", type=int, default=None,
+                   help="override main training iterations")
+    p.add_argument("--platform", type=str, default=None,
+                   choices=["cpu", "axon", "tpu"])
+    p.add_argument("--outdir", type=str, default=None)
+    p.add_argument("--x64", action="store_true")
+    return p
+
+
+def setup(args, default_outdir: str) -> str:
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cache = os.path.join(repo, ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    outdir = args.outdir or os.path.join(repo, "out", default_outdir)
+    os.makedirs(outdir, exist_ok=True)
+    return outdir
