@@ -127,6 +127,20 @@ HH_R0BAD_FIT = _hh(
     1.9074e-04, 4.8845e-02, 1.3319e-05, 6.2207e-02, *CELL5_RGATE,
 )
 
+# d-study pretrain surface: the MARKOV a1/b1 rates as HH p1-p4
+# (train-d1.py:821-823 uses true_model.p1..p4 = the Markov values).
+HH_D_PRETRAIN = _hh(
+    MARKOV_B06.p1, MARKOV_B06.p2, MARKOV_B06.p3, MARKOV_B06.p4,
+    MARKOV_B06.p5, MARKOV_B06.p6, MARKOV_B06.p7, MARKOV_B06.p8,
+)
+
+# d2's NN-d analytic base: B06 HH a-gate + Markov M10 r-gate
+# (train-d2.py:219-229).
+HH_D2_BASE = _hh(
+    HH_B06.p1, HH_B06.p2, HH_B06.p3, HH_B06.p4,
+    MARKOV_B06.p5, MARKOV_B06.p6, MARKOV_B06.p7, MARKOV_B06.p8,
+)
+
 
 class Constants(NamedTuple):
     """Observation constants: I = g * a * r * (V - e)."""

@@ -1,0 +1,218 @@
+"""Synthetic study definitions and the generic runner.
+
+The reference implements each study as a ~900-line script that is a ~90% copy
+of its siblings with surgical edits (SURVEY.md §2.1 "key deltas").  Here each
+study is a frozen spec; one runner executes them all:
+
+  s1: NN-f on HH ground truth            (train-s1.py)
+  s2: NN-d on HH ground truth            (train-s2.py; init std 1e-3, no
+      pretrain, residual training target, s1 "Target Loss" cross-check)
+  d1: NN-f on 3-state Markov ground truth (train-d1.py; Markov-rate pretrain)
+  d2: NN-d on Markov ground truth        (train-d2.py; smoothing window 151,
+      spline s=1, sparse 21)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ionflux import protocols as P
+from ionflux.data import synth_study_currents
+from ionflux.eval import report_mae, simulate, simulate_cases
+from ionflux.fit import fit_surface, pretrain, surface_loss
+from ionflux.models import a_gate_rhs, nnd_init, nnf_init
+from ionflux.models.nn import NNdParams, NNfParams
+from ionflux.models.registry import (
+    HH_B06,
+    HH_D0_INIT,
+    HH_D2_BASE,
+    HH_D_PRETRAIN,
+    MARKOV_B06,
+    SYNTHETIC,
+    HHParams,
+)
+from ionflux.surface import (
+    SurfaceConfig,
+    concat_surfaces,
+    estimate_gate_surface,
+)
+from ionflux.utils.ckpt import load_pytree, save_pytree
+
+REFDIR = "/root/reference"
+
+T1 = np.linspace(0.0, 8000.0, 80001)
+T2 = np.linspace(0.0, 10000.0, 100001)
+PRED_T = np.linspace(0.0, 3000.0, 1501)
+
+
+@dataclass(frozen=True)
+class SyntheticStudy:
+    name: str
+    gt_kind: str                  # 'hh' | 'markov'
+    gt: tuple                     # ground-truth params
+    rgate: HHParams               # known r-gate (p5-p8 used)
+    model_kind: str               # 'nnf' | 'nnd'
+    base_hh: HHParams | None      # NN-d analytic part
+    init_std: float
+    pretrain_hh: HHParams | None  # None = no pretrain stage
+    cfg: SurfaceConfig
+
+
+S1 = SyntheticStudy("s1", "hh", HH_B06, HH_B06, "nnf", None, 0.1,
+                    HH_B06, SurfaceConfig())
+S2 = SyntheticStudy("s2", "hh", HH_B06, HH_B06, "nnd", HH_B06, 1e-3,
+                    None, SurfaceConfig())
+D1 = SyntheticStudy("d1", "markov", MARKOV_B06, HH_D0_INIT, "nnf", None, 0.1,
+                    HH_D_PRETRAIN, SurfaceConfig())
+D2 = SyntheticStudy("d2", "markov", MARKOV_B06, HH_D0_INIT, "nnd", HH_D2_BASE,
+                    1e-3, None,
+                    SurfaceConfig(sparse=21, smooth_window=151, spline_s=1.0))
+
+STUDIES = {s.name: s for s in (S1, S2, D1, D2)}
+
+
+def study_surface(spec: SyntheticStudy, outdir: str, cached: bool = False):
+    """Noisy data generation + derivative-surface estimation, cached as npz.
+
+    Studies sharing a ground truth (s1/s2; d1/d2 except smoothing config)
+    regenerate identical noisy data via the fixed RNG stream (data.py).
+    """
+    cache = os.path.join(outdir, "surface.npz")
+    if cached and os.path.exists(cache):
+        d = np.load(cache)
+        return d["v"], d["a"], d["dadt"]
+    t1 = jnp.asarray(T1, jnp.float32)
+    t2 = jnp.asarray(T2, jnp.float32)
+    act, deact = synth_study_currents(spec.gt, t1, t2)
+    mask1, mask2 = P.s_study_masks()
+    parts = [
+        estimate_gate_surface(pr, t1, act[k], spec.rgate, SYNTHETIC, mask1,
+                              spec.cfg)
+        for k, pr in enumerate(P.activation_family())
+    ] + [
+        estimate_gate_surface(pr, t2, deact[k], spec.rgate, SYNTHETIC, mask2,
+                              spec.cfg)
+        for k, pr in enumerate(P.deactivation_family())
+    ]
+    v, a, dadt = concat_surfaces(parts)
+    os.makedirs(outdir, exist_ok=True)
+    np.savez(cache, v=v, a=a, dadt=dadt)
+    return v, a, dadt
+
+
+def init_params(spec: SyntheticStudy, key=None):
+    key = jax.random.PRNGKey(0) if key is None else key
+    if spec.model_kind == "nnf":
+        return nnf_init(key, spec.rgate, std=spec.init_std)
+    return nnd_init(key, spec.base_hh, std=spec.init_std)
+
+
+def wrap_net(spec: SyntheticStudy, net):
+    if spec.model_kind == "nnf":
+        return NNfParams(net=net, rgate=spec.rgate)
+    return NNdParams(net=net, hh=spec.base_hh)
+
+
+def run_study(spec: SyntheticStudy, outdir: str, iters: int | None = None,
+              cached: bool = False, target_net=None):
+    """Full training pipeline; returns trained model params.
+
+    target_net: optional s1-trained net for the s2 "Target Loss" print
+    (train-s2.py:841-849).
+    """
+    v, a, dadt = study_surface(spec, outdir, cached)
+
+    keep = (a > 0) & (a < 1)  # train-s1.py:895-897
+    x = jnp.asarray(np.stack([v[keep] / 100.0, a[keep]], axis=-1), jnp.float32)
+    y = jnp.asarray(dadt[keep], jnp.float32)
+
+    params = init_params(spec)
+    net = params.net
+    if spec.pretrain_hh is not None:
+        res = pretrain(net, spec.pretrain_hh, kind="s", iters=1000)
+        net = res.params
+        print(f"pretrain done | final loss {float(res.losses[-1]):.6f}")
+
+    residual = None
+    if spec.model_kind == "nnd":
+        # NN-d trains the MLP on the residual da/dt (train-s2.py:830, 854-857)
+        residual = a_gate_rhs(spec.base_hh, x[:, 1], x[:, 0] * 100.0)
+
+    if target_net is not None:
+        tl = float(surface_loss(target_net, x, y))
+        print("Target Loss", tl)
+
+    res = fit_surface(net, x, y, residual, iters=iters or 4000,
+                      lr=1e-3, step_size=100, gamma=0.9)
+    net = res.params
+    print(f"train done | iters {iters or 4000} | "
+          f"final loss {float(res.losses[-1]):.6f}")
+
+    params = wrap_net(spec, net)
+    save_pytree(os.path.join(outdir, "model.npz"), params)
+
+    # AP2Hz validation print (train-s1.py:914-920)
+    ap2hz = P.load_csv(f"{REFDIR}/test-protocols/ap2hz.csv")
+    ts = jnp.asarray(PRED_T, jnp.float32)
+    truth = simulate(spec.gt_kind, spec.gt, ap2hz, ts, SYNTHETIC)
+    pred = simulate(spec.model_kind, params, ap2hz, ts, SYNTHETIC)
+    report_mae("Pretraining", pred, truth)
+    return params
+
+
+def load_study_params(spec: SyntheticStudy, outdir: str):
+    return load_pytree(os.path.join(outdir, "model.npz"), init_params(spec))
+
+
+def prediction_cases():
+    """All --pred protocols as (label, header, proto, ts) rows
+    (reference train-s1.py:311-543)."""
+    rows = [("AP 2Hz prediction", None,
+             P.load_csv(f"{REFDIR}/test-protocols/ap2hz.csv"),
+             jnp.asarray(PRED_T, jnp.float32))]
+    for name, fname, ts in [
+        ("APs prediction", "aps.csv", np.linspace(0.0, 8000.0, 4001)),
+        ("Sinewave prediction", "sinewave.csv", np.linspace(0.0, 8000.0, 4001)),
+        ("Staircase prediction", "staircase.csv", np.linspace(0.0, 15000.0, 7501)),
+    ]:
+        path = f"{REFDIR}/test-protocols/{fname}"
+        if os.path.exists(path):
+            rows.append((name, None, P.load_csv(path), jnp.asarray(ts, jnp.float32)))
+        else:
+            print(f"{name}: protocol file {fname} not in mount, skipped")
+    fams = [
+        ("Activation prediction:", P.activation_family(dt_ms=1.0),
+         np.linspace(0.0, 8000.0, 8001),
+         [f"{v:.1f}mV" for v in P.ACTIVATION_STEPS_MV]),
+        ("Deactivation prediction:", P.deactivation_family(dt_ms=1.0),
+         np.linspace(0.0, 10000.0, 10001),
+         [f"{v:.1f}mV" for v in P.DEACTIVATION_STEPS_MV]),
+        ("Activation time constant at 40mV prediction:",
+         P.atau_family(dt_ms=1.0), np.linspace(0.0, 5000.0, 5001),
+         [f"{d:.1f}ms" for d in P.ATAU_DURATIONS_MS]),
+    ]
+    for header, protos, ts, labels in fams:
+        tsj = jnp.asarray(ts, jnp.float32)
+        for k, (pr, lab) in enumerate(zip(protos, labels)):
+            rows.append((f"    {lab}", header if k == 0 else None, pr, tsj))
+    return rows
+
+
+def predict_study(spec: SyntheticStudy, params):
+    """--pred replay: per-protocol MAEs vs ground truth through one
+    canonical-shape compiled solve per model."""
+    rows = prediction_cases()
+    cases = [(proto, ts) for _, _, proto, ts in rows]
+    truths = simulate_cases(spec.gt_kind, spec.gt, cases, SYNTHETIC)
+    preds = simulate_cases(spec.model_kind, params, cases, SYNTHETIC)
+    out = {}
+    for (label, header, _, _), t_, p_ in zip(rows, truths, preds):
+        if header:
+            print(header)
+        out[label.strip()] = report_mae(label, p_, t_)
+    return out
