@@ -58,6 +58,36 @@ def surface_loss(net, x: jnp.ndarray, y: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("iters", "lr", "step_size", "gamma"))
+def _fit_chunk(net, opt_state, x, y, residual, *, iters, lr, step_size, gamma):
+    """`iters` Adam steps as one scanned jit, resuming from opt_state."""
+    opt = _make_optimizer(lr, step_size, gamma)
+
+    def step(carry, _):
+        params, state = carry
+        loss, grads = jax.value_and_grad(surface_loss)(params, x, y, residual)
+        updates, state = opt.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, state), loss
+
+    (net, opt_state), losses = jax.lax.scan(
+        step, (net, opt_state), None, length=iters)
+    return net, opt_state, losses
+
+
+def init_opt_state(net, lr: float = 1e-3, step_size: int | None = 100,
+                   gamma: float = 0.9):
+    return _make_optimizer(lr, step_size, gamma).init(net)
+
+
+def fit_chunk(net, opt_state, x, y, residual=None, *, iters: int,
+              lr: float = 1e-3, step_size: int | None = 100,
+              gamma: float = 0.9):
+    """Resumable training chunk — the building block for the reference's
+    validate-every-400-iters loop (train-r1.py:920-959)."""
+    return _fit_chunk(net, opt_state, x, y, residual, iters=iters, lr=lr,
+                      step_size=step_size, gamma=gamma)
+
+
 def fit_surface(
     net,
     x: jnp.ndarray,
@@ -70,17 +100,9 @@ def fit_surface(
     gamma: float = 0.9,
 ) -> TrainResult:
     """Full-batch Adam on the surface regression, as one scanned jit."""
-    opt = _make_optimizer(lr, step_size, gamma)
-    opt_state = opt.init(net)
-
-    def step(carry, _):
-        params, state = carry
-        loss, grads = jax.value_and_grad(surface_loss)(params, x, y, residual)
-        updates, state = opt.update(grads, state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, state), loss
-
-    (net, _), losses = jax.lax.scan(step, (net, opt_state), None, length=iters)
+    opt_state = init_opt_state(net, lr, step_size, gamma)
+    net, _, losses = _fit_chunk(net, opt_state, x, y, residual, iters=iters,
+                                lr=lr, step_size=step_size, gamma=gamma)
     return TrainResult(params=net, losses=losses)
 
 

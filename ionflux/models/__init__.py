@@ -11,6 +11,7 @@ from ionflux.models.gt_a import gt_a_rhs, gt_a_coeffs
 from ionflux.models.nn import (
     mlp_init,
     mlp_apply,
+    mlp_sizes,
     nnf_init,
     nnf_rhs,
     nnd_init,
@@ -33,6 +34,7 @@ __all__ = [
     "gt_a_coeffs",
     "mlp_init",
     "mlp_apply",
+    "mlp_sizes",
     "nnf_init",
     "nnf_rhs",
     "nnd_init",

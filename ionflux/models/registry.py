@@ -122,6 +122,28 @@ CELL5_RGATE = (
 )
 HH_CELL5_INIT = _hh(1.13e-4, 7.45e-2, 3.60e-5, 4.49e-2, *CELL5_RGATE)
 
+# Full cell-5 HH fit (FourWaysOfFitting method 3) — the r2 NN-d analytic base
+# (train-r2.py:167-174).
+HH_CELL5_FIT = _hh(
+    2.10551451120238317e-04, 6.57994674459572992e-02,
+    3.31717454417642909e-06, 7.43102564328181336e-02, *CELL5_RGATE,
+)
+
+# r1-bad uses rounded r-gate values and its own conductance
+# (train-r1-bad.py:45, 138-141).
+R1BAD_RGATE = (np.float32(8.73e-2), np.float32(8.90e-3),
+               np.float32(5.20e-3), np.float32(3.16e-2))
+HH_R1BAD_INIT = _hh(1.13e-4, 7.45e-2, 3.60e-5, 4.49e-2, *R1BAD_RGATE)
+
+# Architecture sweep grid (architectures/s00.py..s11.py): id -> (n_layers,
+# n_nodes) in the Linear(2,n)+n_layers*Linear(n,n)+Linear(n,1) convention.
+ARCHITECTURES = {
+    "s00": (5, 200), "s01": (1, 200), "s02": (10, 200),
+    "s03": (5, 10), "s04": (1, 10), "s05": (10, 10),
+    "s06": (5, 500), "s07": (1, 500), "s08": (10, 500),
+    "s09": (5, 100), "s10": (1, 100), "s11": (10, 100),
+}
+
 # r0-bad CMA-ES fitted a-gate (r0-bad/model-parameters.txt).
 HH_R0BAD_FIT = _hh(
     1.9074e-04, 4.8845e-02, 1.3319e-05, 6.2207e-02, *CELL5_RGATE,

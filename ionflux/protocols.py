@@ -179,6 +179,20 @@ def atau_family(dt_ms: float = 0.1) -> list[Protocol]:
     return [atau_protocol(d, dt_ms) for d in durs]
 
 
+def concat(ps: Sequence[Protocol]) -> Protocol:
+    """Concatenate same-dt protocols end-to-end on a continuous time axis
+    (the d0 study fits one trace spanning all Pr3 sweeps then all Pr5 sweeps,
+    train-d0.py:489-502). Duplicate boundary knots are dropped."""
+    dt = float(ps[0].dt)
+    vs = [np.asarray(ps[0].v)]
+    for p in ps[1:]:
+        if abs(float(p.dt) - dt) > 1e-9:
+            raise ValueError("concat requires equal dt")
+        vs.append(np.asarray(p.v)[1:])
+    return Protocol(ps[0].t0, ps[0].dt,
+                    jnp.asarray(np.concatenate(vs), ps[0].v.dtype))
+
+
 def stack(ps: Sequence[Protocol]) -> Protocol:
     """Stack same-length protocols into one batched Protocol [B, N] for
     vmapped solves (the TPU-native parallel axis, SURVEY.md §2 note)."""

@@ -1,0 +1,178 @@
+"""Real-data (Beattie 2018 cell-5) study definitions and runner.
+
+  r1      NN-f on Pr3+Pr5 surfaces               (train-r1.py)
+  r2      NN-d, cell-5 HH base, no E shift       (train-r2.py)
+  r1-bad  NN-f on insufficient protocols          (train-r1-bad.py;
+          negative control analysed in figures 6/7)
+  r1-tune NN-f with swept (n_layers, n_nodes)     (train-r1-tune.py)
+
+Data availability (SURVEY.md §1.1): the raw cell-5 CSVs are not in the
+read-only mount.  When absent, the runner loads the reference's OWN cached
+derivative surfaces (r1/{t,v,a,dadt}.pt ...) through the torch-free reader —
+these are the exact training inputs the reference trained on, so the full
+training path (pretrain -> 16000 chunked iters -> checkpoint/best-model
+selection) runs with full fidelity.  Validation rollouts against measured
+currents need the raw CSVs; degraded mode substitutes rollout-health checks
+(finite whole-trace solves on nominal Pr5/AP2Hz templates) and tracks the
+training loss for best-model selection, clearly labelled.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ionflux import protocols as P
+from ionflux.eval import simulate
+from ionflux.fit.train import fit_chunk, init_opt_state, fit_surface, pretrain_grid_r
+from ionflux.models import a_gate_rhs, nnd_init, nnf_init
+from ionflux.models.nn import NNdParams, NNfParams
+from ionflux.models.registry import (
+    ARCHITECTURES,
+    CELL5_R1,
+    CELL5_R1BAD,
+    CELL5_R2,
+    Constants,
+    HH_CELL5_FIT,
+    HH_CELL5_INIT,
+    HH_R1BAD_INIT,
+    HHParams,
+)
+from ionflux.utils.ckpt import save_checkpoint, save_pytree
+from ionflux.utils.ptload import pt_load
+
+REFDIR = "/root/reference"
+
+
+@dataclass(frozen=True)
+class RealStudy:
+    name: str
+    model_kind: str               # 'nnf' | 'nnd'
+    rgate: HHParams               # known r-gate (p5-p8)
+    base_hh: HHParams | None      # NN-d analytic part
+    constants: Constants
+    init_std: float
+    pretrain_hh: HHParams         # analytic pretrain surface (p1-p4)
+    pretrain_residual: bool       # NN-d pretrains through its analytic part
+    surface_dir: str              # reference dir with cached {t,v,a,dadt}.pt
+    n_layers: int = 5
+    n_nodes: int = 200
+    iters: int = 16000
+    step_size: int = 400
+
+
+R1 = RealStudy("r1", "nnf", HH_CELL5_INIT, None, CELL5_R1, 0.1,
+               HH_CELL5_INIT, False, "r1")
+R2 = RealStudy("r2", "nnd", HH_CELL5_FIT, HH_CELL5_FIT, CELL5_R2, 1e-3,
+               HH_CELL5_FIT, True, "r2")
+R1BAD = RealStudy("r1-bad", "nnf", HH_R1BAD_INIT, None, CELL5_R1BAD, 0.1,
+                  HH_R1BAD_INIT, False, "r1-bad")
+
+RSTUDIES = {s.name: s for s in (R1, R2, R1BAD)}
+
+
+def tune_study(arch_id: str) -> RealStudy:
+    """r1-tune variant: architecture from --info sNN (train-r1-tune.py,
+    architectures/sNN.py)."""
+    n_layers, n_nodes = ARCHITECTURES[arch_id]
+    return replace(R1, name=f"r1-tune-{arch_id}", n_layers=n_layers,
+                   n_nodes=n_nodes)
+
+
+def load_reference_surface(spec: RealStudy):
+    """The reference's cached training surface (train-r1.py:380-386)."""
+    d = f"{REFDIR}/{spec.surface_dir}"
+    t = pt_load(f"{d}/t.pt")
+    v = pt_load(f"{d}/v.pt")
+    a = pt_load(f"{d}/a.pt")
+    dadt = pt_load(f"{d}/dadt.pt")
+    return (np.asarray(t), np.asarray(v), np.asarray(a), np.asarray(dadt))
+
+
+def init_params(spec: RealStudy, key=None):
+    key = jax.random.PRNGKey(0) if key is None else key
+    if spec.model_kind == "nnf":
+        return nnf_init(key, spec.rgate, spec.n_layers, spec.n_nodes,
+                        spec.init_std)
+    return nnd_init(key, spec.base_hh, spec.n_layers, spec.n_nodes,
+                    spec.init_std)
+
+
+def wrap_net(spec: RealStudy, net):
+    if spec.model_kind == "nnf":
+        return NNfParams(net=net, rgate=spec.rgate)
+    return NNdParams(net=net, hh=spec.base_hh)
+
+
+def pretrain_r(spec: RealStudy, net):
+    """1000-iter pretrain on the 100x100 analytic grid (train-r1.py:840-877;
+    r2 pretrains through its analytic residual, train-r2.py:869-897)."""
+    x, y = pretrain_grid_r(spec.pretrain_hh)
+    residual = None
+    if spec.pretrain_residual:
+        residual = a_gate_rhs(spec.base_hh, x[:, 1], x[:, 0] * 100.0)
+    return fit_surface(net, x, y, residual, iters=1000, lr=1e-3,
+                       step_size=None).params
+
+
+def rollout_health(spec: RealStudy, params) -> tuple[float, bool]:
+    """Degraded-mode validation: solve the nominal Pr5 template whole-trace;
+    returns (mean |I|, finite?). Real validation MAEs need the missing
+    cell-5 CSVs (train-r1.py:930-945)."""
+    proto = P.deactivation_protocol(-80.0, dt_ms=1.0)
+    ts = jnp.linspace(0.0, 10000.0, 1001, dtype=jnp.float32)
+    i = simulate(spec.model_kind, params, proto, ts, spec.constants)
+    finite = bool(jnp.all(jnp.isfinite(i)))
+    return float(jnp.mean(jnp.abs(i))) if finite else float("inf"), finite
+
+
+def run_real_study(spec: RealStudy, outdir: str, iters: int | None = None,
+                   surface=None, suffix: str = "-2"):
+    """Full r-study training: pretrain + chunked Adam with per-chunk
+    validation and best-checkpoint selection (train-r1.py:917-960)."""
+    os.makedirs(outdir, exist_ok=True)
+    if surface is None:
+        surface = load_reference_surface(spec)
+    _t, v, a, dadt = surface
+
+    keep = a > 0  # train-r1.py:911-915
+    x = jnp.asarray(np.stack([v[keep] / 100.0, a[keep]], axis=-1), jnp.float32)
+    y = jnp.asarray(dadt[keep], jnp.float32)
+    residual = None
+    if spec.model_kind == "nnd":
+        residual = a_gate_rhs(spec.base_hh, x[:, 1], x[:, 0] * 100.0)
+
+    params0 = init_params(spec)
+    net = pretrain_r(spec, params0.net)
+    print("pretrain done")
+
+    total = iters if iters is not None else spec.iters
+    chunk = min(400, total)
+    opt_state = init_opt_state(net, 1e-3, spec.step_size, 0.9)
+    best = float("inf")
+    done = 0
+    while done < total:
+        n = min(chunk, total - done)
+        net, opt_state, losses = fit_chunk(
+            net, opt_state, x, y, residual, iters=n, lr=1e-3,
+            step_size=spec.step_size, gamma=0.9)
+        done += n
+        train_loss = float(losses[-1])
+        params = wrap_net(spec, net)
+        val, finite = rollout_health(spec, params)
+        score = train_loss if finite else float("inf")
+        is_best = score < best
+        if is_best:
+            best = score
+        print(f"Iter {done} | Loss {train_loss:.6f} | rollout mean|I| "
+              f"{val:.4f} ({'ok' if finite else 'DIVERGED'})"
+              + (" | ===== Current best model =====" if is_best else ""))
+        save_checkpoint(outdir, params, opt_state, done, [train_loss, val],
+                        suffix=suffix, is_best=is_best)
+    params = wrap_net(spec, net)
+    save_pytree(os.path.join(outdir, "model.npz"), params)
+    return params
