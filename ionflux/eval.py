@@ -24,6 +24,7 @@ from ionflux.models import (
 from ionflux.models.registry import Constants
 from ionflux.observe import gate_current, mae, markov_current
 from ionflux.solver import odeint
+from ionflux.solver.adams import odeint_adams
 
 _RHS = {
     "hh": hh_rhs,
@@ -60,17 +61,20 @@ def default_y0(kind: str, dtype=jnp.float32) -> jnp.ndarray:
 
 
 def solve_states(kind: str, params, proto: P.Protocol, ts: jnp.ndarray,
-                 y0=None, rtol=1e-6, atol=1e-8, **kw):
+                 y0=None, rtol=1e-6, atol=1e-8, method: str = "dopri5", **kw):
     if y0 is None:
         y0 = default_y0(kind, ts.dtype)
-    return odeint(_model_rhs(kind), y0, ts, (params, proto),
+    solver = odeint_adams if method == "adams" else odeint
+    return solver(_model_rhs(kind), y0, ts, (params, proto),
                   rtol=rtol, atol=atol, **kw)
 
 
 def simulate(kind: str, params, proto: P.Protocol, ts: jnp.ndarray,
-             c: Constants, y0=None, rtol=1e-6, atol=1e-8, **kw) -> jnp.ndarray:
-    """Observed current for any model family on a protocol."""
-    ys = solve_states(kind, params, proto, ts, y0, rtol, atol, **kw)
+             c: Constants, y0=None, rtol=1e-6, atol=1e-8,
+             method: str = "dopri5", **kw) -> jnp.ndarray:
+    """Observed current for any model family on a protocol
+    (method: 'dopri5' | 'adams', reference --method flag)."""
+    ys = solve_states(kind, params, proto, ts, y0, rtol, atol, method, **kw)
     v = P.voltage(proto, ts)
     if kind == "markov":
         return markov_current(ys, v, c)

@@ -86,10 +86,12 @@ def tune_study(arch_id: str) -> RealStudy:
 def load_reference_surface(spec: RealStudy):
     """The reference's cached training surface (train-r1.py:380-386)."""
     d = f"{REFDIR}/{spec.surface_dir}"
-    t = pt_load(f"{d}/t.pt")
     v = pt_load(f"{d}/v.pt")
     a = pt_load(f"{d}/a.pt")
     dadt = pt_load(f"{d}/dadt.pt")
+    t_path = f"{d}/t.pt"
+    t = (pt_load(t_path) if os.path.exists(t_path)
+         else np.arange(len(np.asarray(v)), dtype=np.float64))
     return (np.asarray(t), np.asarray(v), np.asarray(a), np.asarray(dadt))
 
 

@@ -1,5 +1,8 @@
 from ionflux.solver.dopri5 import odeint, SolveStats
 from ionflux.solver.fixed import odeint_rk4
 from ionflux.solver.chained import odeint_chained
+from ionflux.solver.adams import odeint_adams
+from ionflux.solver.adjoint import odeint_adjoint
 
-__all__ = ["odeint", "odeint_rk4", "odeint_chained", "SolveStats"]
+__all__ = ["odeint", "odeint_rk4", "odeint_chained", "odeint_adams",
+           "odeint_adjoint", "SolveStats"]

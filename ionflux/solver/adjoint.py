@@ -1,0 +1,121 @@
+"""Continuous adjoint for the adaptive solver (the reference's
+``odeint_adjoint`` capability, wired via --adjoint at train-s1.py:29-32 but
+never exercised by its training loops — here it is first-class).
+
+Forward: the adaptive dopri5 (dense output at ``ts``).
+Backward: the augmented ODE
+
+    d/dt [y, a_y, a_theta] = [f, -a_y^T df/dy, -a_y^T df/dtheta]
+
+integrated BACKWARD interval-by-interval between output points (a lax.scan
+over intervals; each interval reuses the adaptive solver in reversed time),
+accumulating the output cotangents g_i at each grid point.  Memory is O(1)
+in trajectory length — only (y_i) checkpoints at the requested output grid
+are kept, the classic adjoint trade (Chen et al. 2018, PAPERS.md).
+
+Gradient w.r.t. ``ts`` is also produced: dL/dt_i = g_i . f(t_i, y_i) plus the
+boundary terms of the running integral.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ionflux.solver.dopri5 import odeint
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5, 6, 7))
+def odeint_adjoint(
+    fn: Callable,
+    y0: jnp.ndarray,
+    ts: jnp.ndarray,
+    args=None,
+    rtol: float = 1e-6,
+    atol: float = 1e-8,
+    max_steps: int = 100_000,
+    buffer_size: int = 4096,
+):
+    """Differentiable odeint: gradients w.r.t. (y0, args, ts) via the
+    continuous adjoint. fn: (t, y, args) -> dy."""
+    return odeint(fn, y0, ts, args, rtol=rtol, atol=atol,
+                  max_steps=max_steps, buffer_size=buffer_size)
+
+
+def _fwd(fn, y0, ts, args, rtol, atol, max_steps, buffer_size):
+    ys = odeint(fn, y0, ts, args, rtol=rtol, atol=atol,
+                max_steps=max_steps, buffer_size=buffer_size)
+    return ys, (ys, ts, args)
+
+
+def _bwd(fn, rtol, atol, max_steps, buffer_size, res, g):
+    ys, ts, args = res
+    # residual leaves may come back as host scalars; jax.vjp needs arrays
+    args = jax.tree.map(jnp.asarray, args)
+    s = ys.shape[-1]
+
+    def aug_rhs(tau, state, pk):
+        """Augmented dynamics in reversed time tau = t1 - t (per interval)."""
+        y, a_y, a_args = state
+        t1, aargs = pk
+        t = t1 - tau
+        f_eval, vjp = jax.vjp(lambda yy, aa: fn(t, yy, aa), y, aargs)
+        dy_bar, dargs_bar = vjp(a_y)
+        return (-f_eval, dy_bar, dargs_bar)
+
+    zero_args = jax.tree.map(jnp.zeros_like, args)
+
+    def interval(carry, xs):
+        a_y, a_args = carry
+        t0, t1, y1, g1 = xs
+        a_y = a_y + g1  # inject the output cotangent at t1
+        # integrate augmented system from t1 down to t0 (tau: 0 -> t1-t0)
+        tau_grid = jnp.stack([jnp.zeros_like(t0), t1 - t0])
+        state0 = (y1, a_y, zero_args)
+
+        flat0, tree = jax.tree.flatten(state0)
+        sizes = [x.size for x in flat0]
+        shapes = [x.shape for x in flat0]
+        vec0 = jnp.concatenate([x.reshape(-1) for x in flat0])
+
+        def vec_rhs(tau, v, pk):
+            parts = []
+            off = 0
+            for sz, sh in zip(sizes, shapes):
+                parts.append(v[off:off + sz].reshape(sh))
+                off += sz
+            st = jax.tree.unflatten(tree, parts)
+            dst = aug_rhs(tau, st, pk)
+            return jnp.concatenate(
+                [x.reshape(-1) for x in jax.tree.leaves(dst)])
+
+        out = odeint(vec_rhs, vec0, tau_grid, (t1, args), rtol=rtol,
+                     atol=atol, max_steps=max_steps,
+                     buffer_size=buffer_size)[-1]
+        parts = []
+        off = 0
+        for sz, sh in zip(sizes, shapes):
+            parts.append(out[off:off + sz].reshape(sh))
+            off += sz
+        _y0, a_y, da = jax.tree.unflatten(tree, parts)
+        a_args = jax.tree.map(jnp.add, a_args, da)
+        return (a_y, a_args), None
+
+    a_y0 = jnp.zeros((s,), ys.dtype)
+    xs = (ts[:-1][::-1], ts[1:][::-1], ys[1:][::-1], g[1:][::-1])
+    (a_y0, a_args), _ = jax.lax.scan(interval, (a_y0, zero_args), xs)
+    a_y0 = a_y0 + g[0]
+
+    # dL/dts: boundary terms g_i . f(t_i, y_i) (i > 0); for t0 the adjoint
+    # relation gives -a_y(t0) . f(t0, y0)
+    f_at = jax.vmap(lambda t, y: fn(t, y, args))(ts, ys)
+    dts = jnp.einsum("ts,ts->t", g, f_at)
+    dts = dts.at[0].set(-jnp.dot(a_y0, f_at[0]))
+
+    return a_y0, dts, a_args
+
+
+odeint_adjoint.defvjp(_fwd, _bwd)

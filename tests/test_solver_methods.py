@@ -1,0 +1,75 @@
+"""Adams method and continuous-adjoint tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ionflux import protocols as P
+from ionflux.models import hh_rhs
+from ionflux.models.registry import HH_B06
+from ionflux.solver import odeint, odeint_adams, odeint_adjoint, odeint_rk4
+
+
+def hh_proto_rhs(t, y, args):
+    params, proto = args
+    return hh_rhs(params, t, y, P.voltage(proto, t))
+
+
+def test_adams_exponential_decay():
+    def rhs(t, y, a):
+        return -y
+
+    ts = jnp.linspace(0.0, 5.0, 11, dtype=jnp.float32)
+    ya = odeint_adams(rhs, jnp.array([1.0], jnp.float32), ts, None)
+    np.testing.assert_allclose(np.asarray(ya).ravel(),
+                               np.exp(-np.asarray(ts)), atol=1e-5)
+
+
+def test_adams_matches_dopri5_on_step_protocol():
+    proto = P.activation_protocol(20.0)
+    ts = jnp.linspace(0.0, 8000.0, 801, dtype=jnp.float32)
+    y0 = jnp.array([0.0, 1.0], jnp.float32)
+    ref = odeint(hh_proto_rhs, y0, ts, (HH_B06, proto), rtol=1e-7, atol=1e-9)
+    ya, st = odeint_adams(hh_proto_rhs, y0, ts, (HH_B06, proto),
+                          rtol=1e-6, atol=1e-8, return_stats=True)
+    assert bool(st.ok)
+    assert float(jnp.max(jnp.abs(ya - ref))) < 1e-3
+
+
+def test_adjoint_gradients_match_backprop_through_rk4():
+    A0 = jnp.array([[-0.3, 0.2], [0.1, -0.5]], jnp.float32)
+    y0 = jnp.array([1.0, 0.5], jnp.float32)
+    ts = jnp.linspace(0.0, 5.0, 11, dtype=jnp.float32)
+
+    def fn(t, y, A):
+        return A @ y
+
+    def loss_adj(A, y0):
+        ys = odeint_adjoint(fn, y0, ts, A, 1e-8, 1e-10)
+        return jnp.sum(ys[-1] ** 2) + jnp.sum(ys[5] * 0.3)
+
+    def loss_rk4(A, y0):
+        ys = odeint_rk4(fn, y0, ts, A, n_sub=64)
+        return jnp.sum(ys[-1] ** 2) + jnp.sum(ys[5] * 0.3)
+
+    gA1, gy1 = jax.grad(loss_adj, argnums=(0, 1))(A0, y0)
+    gA2, gy2 = jax.grad(loss_rk4, argnums=(0, 1))(A0, y0)
+    np.testing.assert_allclose(np.asarray(gA1), np.asarray(gA2), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gy1), np.asarray(gy2), rtol=1e-4)
+
+
+def test_adjoint_gradient_through_hh_params():
+    """End-to-end neural-ODE-style training capability: gradients of a trace
+    loss w.r.t. model parameters through the adaptive solver."""
+    proto = P.activation_protocol(0.0, dt_ms=1.0)
+    ts = jnp.linspace(0.0, 2000.0, 21, dtype=jnp.float32)
+    y0 = jnp.array([0.0, 1.0], jnp.float32)
+
+    def loss(params):
+        ys = odeint_adjoint(hh_proto_rhs, y0, ts, (params, proto))
+        return jnp.mean(ys[:, 0] ** 2)
+
+    g = jax.grad(loss)(HH_B06)
+    leaves = jax.tree.leaves(g[0:4])
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    assert float(jnp.abs(g.p1)) > 0
