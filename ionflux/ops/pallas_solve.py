@@ -1,0 +1,258 @@
+"""Fused batched NN-f neural-ODE solve as a single Pallas TPU kernel.
+
+Motivation (the hot path, SURVEY.md §3.1): the XLA dopri5 solve evaluates the
+MLP 6-7x per step for thousands of steps; besides weight re-streaming, each
+while-loop iteration pays XLA op-dispatch overhead.  This kernel runs the
+ENTIRE adaptive solve on-core: MLP weights and the protocol batch stay
+resident in VMEM, the 6 RHS evaluations per step are [B, hidden] MXU matmuls,
+and each accepted step's (t, h, y, K) record is streamed to HBM with a small
+async DMA (dynamic indexing on the major dim — lane-dim dynamic slices are
+not Mosaic-lowerable).
+
+Dense output stays in XLA (phase 2 of the dopri5 design): gather the step
+records for all requested times and evaluate the quartic interpolant in one
+einsum.
+
+Batch semantics: B same-length protocols in lockstep with ONE shared
+controller (accept when the max error ratio over lanes passes) — slightly
+conservative per lane, but it turns the per-stage MLP into MXU work.
+
+Voltage lookup: arbitrary-position gathers are not lane-aligned, so V(t) is
+extracted from a 128-aligned 256-wide window via a one-hot reduction (pure
+VPU).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ionflux.models.registry import HHParams, NETSCALE, VRANGE
+from ionflux.solver.dopri5 import _A, _B_ERR, _B_SOL, _C, _P_DENSE
+
+_SAFETY, _MINF, _MAXF = 0.9, 0.2, 10.0
+
+
+def _make_kernel(n_layers: int, n_knots_padded: int, t0: float,
+                 dt_knot: float, t_end: float, rgate: tuple, rtol: float,
+                 atol: float, max_steps: int, max_rec: int, b: int):
+    p5, p6, p7, p8 = rgate
+    inv_dt = 1.0 / dt_knot
+    A = [[float(x) for x in row] for row in _A]
+    C = [float(x) for x in _C]
+    BS = [float(x) for x in _B_SOL]
+    BE = [float(x) for x in _B_ERR]
+
+    def kernel(v_ref, *refs):
+        w_refs = refs[:n_layers]
+        b_refs = refs[n_layers:2 * n_layers]
+        rec_sc, rec_y, rec_k, n_out_ref = refs[2 * n_layers:2 * n_layers + 4]
+        vm_sc, vm_y, vm_k, sems = refs[2 * n_layers + 4:]
+
+        def voltage(t):
+            x = (t - t0) * inv_dt
+            ii = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, n_knots_padded - 130)
+            w = x - ii.astype(jnp.float32)
+            base = pl.multiple_of((ii // 128) * 128, 128)
+            off = ii - base
+            chunk = v_ref[:, pl.ds(base, 256)]                  # [B, 256]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+            v0 = jnp.sum(jnp.where(lane == off, chunk, 0.0), axis=1)
+            v1 = jnp.sum(jnp.where(lane == off + 1, chunk, 0.0), axis=1)
+            return v0 + w * (v1 - v0)                           # [B]
+
+        def mlp(x):
+            h = x
+            for wr, br in zip(w_refs[:-1], b_refs[:-1]):
+                h = jnp.dot(h, wr[...],
+                            preferred_element_type=jnp.float32) + br[...]
+                h = jnp.where(h >= 0, h, 0.01 * h)
+            return (jnp.dot(h, w_refs[-1][...],
+                            preferred_element_type=jnp.float32)
+                    + b_refs[-1][...])
+
+        def rhs(t, y):
+            v = voltage(t)
+            x = jnp.stack([v / VRANGE, y[:, 0]], axis=-1)
+            dadt = mlp(x)[:, 0] / NETSCALE
+            k3 = p5 * jnp.exp(p6 * v)
+            k4 = p7 * jnp.exp(-p8 * v)
+            drdt = -k3 * y[:, 1] + k4 * (1.0 - y[:, 1])
+            return jnp.stack([dadt, drdt], axis=-1)
+
+        y0 = jnp.concatenate(
+            [jnp.zeros((b, 1), jnp.float32), jnp.ones((b, 1), jnp.float32)],
+            axis=1)
+        f0 = rhs(jnp.float32(t0), y0)
+
+        def _pad_bt(arr):
+            # [b, 2] -> [2, 128] (transpose + lane pad)
+            at = arr.T  # [2, b]
+            pad = jnp.zeros((2, 128 - b), jnp.float32)
+            return jnp.concatenate([at, pad], axis=1)
+
+        def step_cond(state):
+            return state[6]
+
+        def step_body(state):
+            t, y, f, h, n_acc, n_step, alive = state
+            h_eff = jnp.maximum(jnp.minimum(h, t_end - t), 1e-8)
+
+            ks = [f]
+            for i in range(1, 7):
+                yi = y
+                for j in range(i):
+                    if A[i][j] != 0.0:
+                        yi = yi + (h_eff * A[i][j]) * ks[j]
+                ks.append(rhs(t + C[i] * h_eff, yi))
+            y1 = y
+            err = jnp.zeros_like(y)
+            for j in range(7):
+                if BS[j] != 0.0:
+                    y1 = y1 + (h_eff * BS[j]) * ks[j]
+                if BE[j] != 0.0:
+                    err = err + (h_eff * BE[j]) * ks[j]
+            scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
+            ratio = jnp.sqrt(jnp.max(jnp.mean((err / scale) ** 2, axis=-1)))
+            finite = jnp.all(jnp.isfinite(y1)) & jnp.isfinite(ratio)
+            accept = (ratio <= 1.0) & finite
+
+            @pl.when(accept)
+            def _():
+                sc = jnp.zeros((128,), jnp.float32)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)[0]
+                sc = jnp.where(lane == 0, t, jnp.where(lane == 1, h_eff, 0.0))
+                vm_sc[0, :] = sc
+                # records are lane-padded to 128 (DMA slices must keep the
+                # trailing tile); state lanes live in [:b]
+                vm_y[0, :, :] = _pad_bt(y)
+                for i in range(7):
+                    vm_k[0, i, :, :] = _pad_bt(ks[i])
+                c0 = pltpu.make_async_copy(
+                    vm_sc, rec_sc.at[pl.ds(n_acc, 1)], sems.at[0])
+                c1 = pltpu.make_async_copy(
+                    vm_y, rec_y.at[pl.ds(n_acc, 1)], sems.at[1])
+                c2 = pltpu.make_async_copy(
+                    vm_k, rec_k.at[pl.ds(n_acc, 1)], sems.at[2])
+                c0.start()
+                c1.start()
+                c2.start()
+                c0.wait()
+                c1.wait()
+                c2.wait()
+
+            t_new = jnp.where(accept, t + h_eff, t)
+            y_new = jnp.where(accept, y1, y)
+            f_new = jnp.where(accept, ks[6], f)
+            n_acc2 = n_acc + accept.astype(jnp.int32)
+            # x**-0.2 as exp(-0.2 log x): math.powf is not Mosaic-lowerable
+            factor = _SAFETY * jnp.exp(-0.2 * jnp.log(jnp.maximum(ratio, 1e-10)))
+            factor = jnp.where(jnp.isfinite(factor), factor, _MINF)
+            h_new = h_eff * jnp.clip(factor, _MINF,
+                                     jnp.where(accept, _MAXF, 1.0))
+            n2 = n_step + 1
+            alive2 = ((t_new < t_end) & (n2 < max_steps)
+                      & (n_acc2 < max_rec)
+                      & jnp.all(jnp.isfinite(y_new)))
+            return (t_new, y_new, f_new, h_new, n_acc2, n2, alive2)
+
+        init = (jnp.float32(t0), y0, f0, jnp.float32(dt_knot * 10.0),
+                jnp.int32(0), jnp.int32(0), jnp.bool_(True))
+        (t, y, f, h, n_acc, n_step, _al) = jax.lax.while_loop(
+            step_cond, step_body, init)
+        ok = (t >= t_end) & jnp.all(jnp.isfinite(y))
+        n_out_ref[0, 0] = jnp.where(ok, n_acc, -n_acc)
+
+    return kernel
+
+
+def fused_nnf_solve(
+    net: Sequence,
+    rgate: HHParams,
+    protos_v: jnp.ndarray,          # [B, N] knot voltages (uniform grid)
+    ts: jnp.ndarray,                # [T] output times (ascending)
+    *,
+    proto_t0: float = 0.0,
+    proto_dt: float = 0.1,
+    t_end: float | None = None,
+    rtol: float = 1e-5,
+    atol: float = 1e-7,
+    max_steps: int = 100_000,
+    max_rec: int = 16384,
+    interpret: bool = False,
+):
+    """Solve the NN-f ODE for B protocols in one fused kernel; dense output
+    at ``ts`` evaluated in XLA. Returns ys [B, T, 2] (inf if diverged)."""
+    b, n = protos_v.shape
+    t_end = float(t_end) if t_end is not None else float(ts[-1])
+    # pad the knot axis to a multiple of 128 plus one extra window
+    n_pad = ((n + 127) // 128) * 128 + 256
+    vpad = jnp.concatenate(
+        [protos_v.astype(jnp.float32),
+         jnp.broadcast_to(protos_v[:, -1:].astype(jnp.float32),
+                          (b, n_pad - n))], axis=1)
+    ws = [w.astype(jnp.float32) for w, _ in net]
+    bs = [bb.astype(jnp.float32) for _, bb in net]
+
+    kernel = _make_kernel(
+        len(ws), n_pad, float(proto_t0), float(proto_dt), t_end,
+        tuple(float(x) for x in (rgate.p5, rgate.p6, rgate.p7, rgate.p8)),
+        float(rtol), float(atol), int(max_steps), int(max_rec), b)
+
+    rec_sc, rec_y, rec_k, n_acc = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((max_rec, 128), jnp.float32),
+            jax.ShapeDtypeStruct((max_rec, 2, 128), jnp.float32),
+            jax.ShapeDtypeStruct((max_rec, 7, 2, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + 2 * len(ws)),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, 128), jnp.float32),
+            pltpu.VMEM((1, 2, 128), jnp.float32),
+            pltpu.VMEM((1, 7, 2, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(vpad, *ws, *bs)
+
+    return _dense_eval(rec_sc, rec_y, rec_k, n_acc[0, 0],
+                       ts.astype(jnp.float32), b)
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("b",))
+def _dense_eval(rec_sc, rec_y, rec_k, n_acc, ts, b):
+    """Phase 2: vectorised quartic dense output over the full grid."""
+    ok = n_acc > 0
+    n = jnp.abs(n_acc)
+    big = jnp.float32(3.4e38)
+    t_rec = jnp.where(jnp.arange(rec_sc.shape[0]) < n, rec_sc[:, 0], big)
+    idx = jnp.clip(jnp.searchsorted(t_rec, ts, side="right") - 1, 0,
+                   jnp.maximum(n - 1, 0))
+    t0s = rec_sc[idx, 0]
+    hs = rec_sc[idx, 1]
+    th = jnp.clip((ts - t0s) / hs, 0.0, 1.0)
+    tp = jnp.stack([th, th ** 2, th ** 3, th ** 4], axis=-1)
+    bpoly = tp @ jnp.asarray(_P_DENSE, jnp.float32).T              # [T, 7]
+    kk = rec_k[idx][..., :b]                                       # [T,7,2,B]
+    y0s = rec_y[idx][..., :b]                                      # [T,2,B]
+    ys = y0s + hs[:, None, None] * jnp.einsum("tj,tjsb->tsb", bpoly, kk)
+    ys = jnp.transpose(ys, (2, 0, 1))                              # [B,T,2]
+    return jnp.where(ok, ys, jnp.full_like(ys, jnp.inf))

@@ -1,0 +1,58 @@
+"""Pallas fused-kernel tests (interpret mode — exact semantics on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ionflux import protocols as P
+from ionflux.models import hh_rhs, nnf_init, nnf_rhs
+from ionflux.models.registry import HH_B06
+from ionflux.solver import odeint
+
+
+def test_fused_hh_rk4_matches_adaptive():
+    from ionflux.ops.pallas_rk4 import fused_hh_rk4
+
+    proto = P.activation_protocol(20.0, dt_ms=1.0)
+    pop = np.stack([np.array([float(x) for x in HH_B06]) * (1.0 + 0.05 * i)
+                    for i in range(4)])
+    ys = fused_hh_rk4(jnp.asarray(pop, jnp.float32), proto.v,
+                      proto_dt=1.0, dt_out=10.0, n_out=801, n_sub=10,
+                      interpret=True)
+    assert ys.shape == (4, 801, 2)
+
+    ts = jnp.linspace(0.0, 8000.0, 801, dtype=jnp.float32)
+    y0 = jnp.array([0.0, 1.0], jnp.float32)
+
+    def rhs(t, y, a):
+        return hh_rhs(a[0], t, y, P.voltage(a[1], t))
+
+    from ionflux.models.registry import HHParams
+
+    for m in range(4):
+        params = HHParams(*[jnp.float32(x) for x in pop[m]])
+        ref = odeint(rhs, y0, ts, (params, proto), rtol=1e-7, atol=1e-9)
+        err = float(jnp.max(jnp.abs(ys[m] - ref)))
+        assert err < 2e-3, (m, err)
+
+
+def test_fused_nnf_adaptive_solve_matches_xla():
+    from ionflux.ops.pallas_solve import fused_nnf_solve
+
+    params = nnf_init(jax.random.PRNGKey(0), HH_B06, n_layers=1, n_nodes=16)
+    protos = P.stack([P.activation_protocol(v, dt_ms=1.0)
+                      for v in (-40.0, 20.0)])
+    ts = jnp.linspace(0.0, 8000.0, 161, dtype=jnp.float32)
+    ys = fused_nnf_solve(params.net, HH_B06, protos.v, ts, proto_dt=1.0,
+                         max_rec=4096, interpret=True)
+    assert bool(jnp.all(jnp.isfinite(ys)))
+
+    def rhs(t, y, a):
+        return nnf_rhs(a[0], t, y, P.voltage(a[1], t))
+
+    y0 = jnp.array([0.0, 1.0], jnp.float32)
+    ref = jax.vmap(lambda pr: odeint(rhs, y0, ts, (params, pr),
+                                     rtol=1e-5, atol=1e-7))(protos)
+    # shared lockstep controller picks different steps; both within tolerance
+    assert float(jnp.max(jnp.abs(ys - ref))) < 2e-2
