@@ -1,0 +1,136 @@
+"""Raw-recording pipeline: measured (t, I, V) time series -> training surface.
+
+This is the data-present path of the r-studies (reference train-r1.py:80-130
+loading + :387-811 estimation), usable as soon as the cell-5 CSVs are fetched
+(scripts/fetch_data.py) and tested here with synthetic stand-in recordings.
+
+Two derivative-estimation variants, as in the reference:
+  spline  (default): per-segment Hanning smooth of I + cubic spline -> dI/dt,
+          then algebraic inversion to (a, da/dt) (train-r1.py:680-793)
+  smoothi (--smoothi): invert to a first, then per-segment tri-/bi-exponential
+          or quartic-spline fits of a(t) giving (a, da/dt, d2a/dt2)
+          (train-r1.py:422-673)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.interpolate import UnivariateSpline
+
+from ionflux import protocols as P
+from ionflux.models.registry import Constants, HHParams
+from ionflux.ops.expfit import X02_TRI, X0_BI, eval_exp, fit_exp, is_within
+from ionflux.ops.smoothing import smooth_same_np
+from ionflux.surface import invert_observation, solve_r_gate, spline_didt, SurfaceConfig
+
+
+def load_recording(path: str):
+    """A cell-5 CSV: columns time, current, voltage (train-r1.py:80-94)."""
+    raw = np.loadtxt(path, delimiter=",", skiprows=1)
+    return raw[:, 0], raw[:, 1], raw[:, 2]
+
+
+@dataclass(frozen=True)
+class RealSurfaceConfig:
+    skip: int = 10            # train-r1.py:391
+    sparse: int = 7           # train-r1.py:392
+    cap_points: int = 70      # 7 ms at 0.1 ms (train-r1.py:99-101)
+    extra_points: int = 20    # train-r1.py:118
+    std_cutoff: float = 0.01  # exp-vs-spline switch (train-r1.py:460)
+    smooth_window: int = 51   # a-smoothing for spline segments (:497)
+    spline_k: int = 4         # "want smooth 2nd derivative" (:498)
+    spline_s: float = 0.2     # (:499)
+
+
+def _recording_protocol(t: np.ndarray, v: np.ndarray) -> P.Protocol:
+    # recordings are nominally uniform; tolerate f32-rounded time columns
+    dt = (t[-1] - t[0]) / (len(t) - 1)
+    return P.Protocol(jnp.float32(t[0]), jnp.float32(dt),
+                      jnp.asarray(v, jnp.float32))
+
+
+def _known_r(t, v, rgate: HHParams):
+    proto = _recording_protocol(t, v)
+    ts = jnp.asarray(t, jnp.float32)
+    r = np.asarray(solve_r_gate(proto, ts, rgate), np.float64)
+    k3 = np.float64(rgate.p5) * np.exp(np.float64(rgate.p6) * v)
+    k4 = np.float64(rgate.p7) * np.exp(-np.float64(rgate.p8) * v)
+    drdt = -k3 * r + k4 * (1.0 - r)
+    return r, drdt
+
+
+def real_surface_spline(t, i, v, rgate: HHParams, c: Constants,
+                        cfg: RealSurfaceConfig = RealSurfaceConfig(),
+                        extra_changes: np.ndarray | None = None):
+    """Spline path -> subsampled (t, v, a, dadt) (train-r1.py:680-801)."""
+    t = np.asarray(t, np.float64)
+    i = np.asarray(i, np.float64)
+    v = np.asarray(v, np.float64)
+    r, drdt = _known_r(t, v, rgate)
+    edges = P.segment_edges(t, v)
+    i_smooth, didt = spline_didt(
+        t, i, edges, SurfaceConfig(smooth_window=61, spline_k=3, spline_s=0.0))
+    a, dadt = invert_observation(i_smooth, r, v, didt, drdt, c)
+    mask = P.training_mask(v, cfg.cap_points, cfg.extra_points, extra_changes)
+    sl = slice(cfg.skip, None, cfg.sparse)
+    return t[mask][sl], v[mask][sl], a[mask][sl], dadt[mask][sl]
+
+
+def real_surface_smoothi(t, i, v, rgate: HHParams, c: Constants,
+                         cfg: RealSurfaceConfig = RealSurfaceConfig(),
+                         extra_changes: np.ndarray | None = None,
+                         bi_exp_times: tuple = (), cma_voltages: tuple = ()):
+    """--smoothi path -> subsampled (t, v, a, dadt, d2adt2)
+    (train-r1.py:422-673).
+
+    bi_exp_times: segment-interior times forced to bi-exp (the Pr5 flat tails,
+    train-r1.py:633); cma_voltages: segment voltages needing the CMA-ES
+    optimiser (the hard -90 mV segments, train-r1.py:554, 640)."""
+    t = np.asarray(t, np.float64)
+    i = np.asarray(i, np.float64)
+    v = np.asarray(v, np.float64)
+    r, _ = _known_r(t, v, rgate)
+    a_raw = i / (np.float64(c.g) * r * (v - np.float64(c.e)))
+
+    cap = P.capacitance_mask(v, cfg.cap_points, extra_changes)
+    tt, aa = t[cap], a_raw[cap]
+    edges = P.segment_edges(t, v)
+
+    ao = np.zeros_like(t)
+    dadto = np.zeros_like(t)
+    d2o = np.zeros_like(t)
+    t_i = 0.0
+    for t_f in edges:
+        idx = np.where((tt >= t_i) & (tt < t_f))[0]
+        t_i = t_f
+        if len(idx) <= cfg.smooth_window:
+            continue  # degenerate segment; masked out of training anyway
+        tfit = tt[idx]
+        afit_raw = aa[idx]
+        full = np.where((t >= tfit[0]) & (t <= tfit[-1]))[0]
+        seg_v = v[full[0]]
+        if np.std(afit_raw) > cfg.std_cutoff:
+            tl = tfit - tfit[0]
+            if any(is_within(tfit, tb) for tb in bi_exp_times):
+                x = fit_exp(tl, afit_raw, "bi", X0_BI)
+                vals = eval_exp("bi", t[full] - tfit[0], x)
+            else:
+                use_cma = any(abs(seg_v - cv) < 0.5 for cv in cma_voltages)
+                x = fit_exp(tl, afit_raw, "tri", X02_TRI, use_cma=use_cma)
+                vals = eval_exp("tri", t[full] - tfit[0], x)
+            ao[full], dadto[full], d2o[full] = vals
+        else:
+            asm = smooth_same_np(afit_raw, cfg.smooth_window)
+            spl = UnivariateSpline(tfit, asm, k=cfg.spline_k)
+            spl.set_smoothing_factor(cfg.spline_s)
+            ao[full] = spl(t[full])
+            dadto[full] = spl(t[full], 1)
+            d2o[full] = spl(t[full], 2)
+
+    mask = P.training_mask(v, cfg.cap_points, cfg.extra_points, extra_changes)
+    sl = slice(cfg.skip, None, cfg.sparse)
+    return (t[mask][sl], v[mask][sl], ao[mask][sl], dadto[mask][sl],
+            d2o[mask][sl])

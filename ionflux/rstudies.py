@@ -83,6 +83,51 @@ def tune_study(arch_id: str) -> RealStudy:
                    n_nodes=n_nodes)
 
 
+def surface_from_recordings(spec: RealStudy, data_dir: str,
+                            smoothi: bool = False):
+    """Data-present path: build the training surface from the raw cell-5
+    CSVs (train-r1.py:80-130, 387-811).  r1 trains on Pr3+Pr5 ("not using
+    sine wave", train-r1.py:794-797); r1-bad on Pr3+Pr4."""
+    from ionflux.realdata import (
+        RealSurfaceConfig,
+        load_recording,
+        real_surface_smoothi,
+        real_surface_spline,
+    )
+
+    files = {
+        "r1": ["pr3-steady-activation-cell-5.csv",
+               "pr5-deactivation-cell-5.csv"],
+        "r2": ["pr3-steady-activation-cell-5.csv",
+               "pr5-deactivation-cell-5.csv"],
+        "r1-bad": ["pr3-steady-activation-cell-5.csv",
+                   "pr4-inactivation-cell-5.csv"],
+    }[spec.surface_dir if spec.surface_dir in ("r1", "r2", "r1-bad")
+      else "r1"]
+    # Pr5's flat holding tails are bi-exp segments; -90 mV needs CMA-ES
+    # (train-r1.py:633, 554/640)
+    pr5_bi = (2000, 12000, 22000, 33000, 43000, 53000, 64000, 74000, 84000)
+    parts = []
+    for fname in files:
+        t, i, v = load_recording(os.path.join(data_dir, fname))
+        kw = {}
+        if "pr5" in fname:
+            kw = dict(bi_exp_times=pr5_bi, cma_voltages=(-90.0,))
+        if smoothi:
+            ts_, vs_, a_, dadt_, d2_ = real_surface_smoothi(
+                t, i, v, spec.rgate, spec.constants, RealSurfaceConfig(),
+                **kw)
+        else:
+            ts_, vs_, a_, dadt_ = real_surface_spline(
+                t, i, v, spec.rgate, spec.constants, RealSurfaceConfig())
+        parts.append((ts_, vs_, a_, dadt_))
+    t = np.concatenate([p[0] for p in parts])
+    v = np.concatenate([p[1] for p in parts])
+    a = np.concatenate([p[2] for p in parts])
+    dadt = np.concatenate([p[3] for p in parts])
+    return t, v, a, dadt
+
+
 def load_reference_surface(spec: RealStudy):
     """The reference's cached training surface (train-r1.py:380-386)."""
     d = f"{REFDIR}/{spec.surface_dir}"
@@ -138,7 +183,13 @@ def run_real_study(spec: RealStudy, outdir: str, iters: int | None = None,
     validation and best-checkpoint selection (train-r1.py:917-960)."""
     os.makedirs(outdir, exist_ok=True)
     if surface is None:
-        surface = load_reference_surface(spec)
+        data_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data")
+        if os.path.exists(os.path.join(
+                data_dir, "pr3-steady-activation-cell-5.csv")):
+            surface = surface_from_recordings(spec, data_dir)
+        else:
+            surface = load_reference_surface(spec)
     _t, v, a, dadt = surface
 
     keep = a > 0  # train-r1.py:911-915

@@ -78,6 +78,12 @@ def spline_didt(t: np.ndarray, i: np.ndarray, edges: np.ndarray,
     t_i = 0.0
     for t_f in edges:
         idx = np.where((t >= t_i) & (t < t_f))[0]
+        if len(idx) <= cfg.smooth_window:
+            # degenerate segment (shorter than the smoothing window, e.g. a
+            # single-sample ramp knot) — left zero; these samples sit inside
+            # the step-edge masks and never reach training
+            t_i = t_f
+            continue
         tfit = t[idx]
         ifit = smooth_same_np(i[idx], cfg.smooth_window)
         spl = UnivariateSpline(tfit, ifit, k=cfg.spline_k)
