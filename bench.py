@@ -60,15 +60,14 @@ def measure_tpu() -> float:
                       os.path.join(os.path.dirname(BASELINE_FILE), ".jax_cache"))
 
     from ionflux import protocols as P
-    from ionflux.models import nnf_init, nnf_rhs
-    from ionflux.models.registry import HH_B06
-    from ionflux.solver import odeint
+    from ionflux.models import nnf_init
+    from ionflux.models.registry import HH_B06, NETSCALE, VRANGE
+    from ionflux.solver import odeint_batched
 
     knots = np.linspace(0.0, 8000.0, 80001)
     proto = P.Protocol(jnp.float32(0.0), jnp.float32(0.1),
                        jnp.asarray(sinewave_voltage(knots), jnp.float32))
     ts = jnp.linspace(0.0, 8000.0, N_OUT, dtype=jnp.float32)
-    y0 = jnp.array([0.0, 1.0], jnp.float32)
 
     base = nnf_init(jax.random.PRNGKey(0), HH_B06)
     # population of 32 perturbed parameter sets (CMA-ES-style batch axis)
@@ -80,15 +79,23 @@ def measure_tpu() -> float:
     )(keys)
 
     def rhs(t, y, args):
-        net, proto = args
-        from ionflux.models.nn import NNfParams
-        return nnf_rhs(NNfParams(net=net, rgate=HH_B06), t, y, P.voltage(proto, t))
+        # lockstep population: per-lane MLP weights as one batched einsum
+        nets, pr = args
+        v = P.voltage(pr, t)
+        h = jnp.stack([jnp.full((y.shape[0],), v / VRANGE), y[:, 0]], axis=-1)
+        for wi, (w, bb) in enumerate(nets):
+            h = jnp.einsum("bi,bio->bo", h, w) + bb
+            if wi < len(nets) - 1:
+                h = jnp.where(h >= 0, h, 0.01 * h)
+        dadt = h[:, 0] / NETSCALE
+        k3 = HH_B06.p5 * jnp.exp(HH_B06.p6 * v)
+        k4 = HH_B06.p7 * jnp.exp(-HH_B06.p8 * v)
+        drdt = -k3 * y[:, 1] + k4 * (1.0 - y[:, 1])
+        return jnp.stack([dadt, drdt], axis=-1)
 
-    def solve_one(net):
-        return odeint(rhs, y0, ts, (net, proto), rtol=1e-5, atol=1e-7,
-                      buffer_size=2048)
-
-    batched = jax.jit(jax.vmap(solve_one))
+    y0b = jnp.tile(jnp.array([0.0, 1.0], jnp.float32), (BATCH, 1))
+    batched = jax.jit(lambda nets: odeint_batched(
+        rhs, y0b, ts, (nets, proto), rtol=1e-5, atol=1e-7, buffer_size=4096))
     out = batched(pop_net)
     out.block_until_ready()  # compile + warmup
     assert bool(jax.numpy.all(jax.numpy.isfinite(out))), "solve diverged"

@@ -73,3 +73,37 @@ def test_adjoint_gradient_through_hh_params():
     leaves = jax.tree.leaves(g[0:4])
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
     assert float(jnp.abs(g.p1)) > 0
+
+
+def test_batched_lane_solver_matches_per_lane():
+    from ionflux.solver import odeint_batched
+
+    proto = P.activation_protocol(20.0, dt_ms=1.0)
+    ts = jnp.linspace(0.0, 8000.0, 161, dtype=jnp.float32)
+    pops = jnp.stack([
+        jnp.array([float(x) * (1.0 + 0.02 * i) for x in HH_B06], jnp.float32)
+        for i in range(4)
+    ])
+
+    def rhs_b(t, y, args):
+        ps, pr = args
+        v = P.voltage(pr, t)
+        k1 = ps[:, 0] * jnp.exp(ps[:, 1] * v)
+        k2 = ps[:, 2] * jnp.exp(-ps[:, 3] * v)
+        k3 = ps[:, 4] * jnp.exp(ps[:, 5] * v)
+        k4 = ps[:, 6] * jnp.exp(-ps[:, 7] * v)
+        dadt = k1 * (1 - y[:, 0]) - k2 * y[:, 0]
+        drdt = -k3 * y[:, 1] + k4 * (1 - y[:, 1])
+        return jnp.stack([dadt, drdt], axis=-1)
+
+    y0b = jnp.tile(jnp.array([0.0, 1.0], jnp.float32), (4, 1))
+    ys = odeint_batched(rhs_b, y0b, ts, (pops, proto), rtol=1e-6, atol=1e-8)
+    assert ys.shape == (4, 161, 2)
+
+    from ionflux.models.registry import HHParams
+
+    for m in range(4):
+        params = HHParams(*[jnp.float32(x) for x in pops[m]])
+        ref = odeint(hh_proto_rhs, jnp.array([0.0, 1.0], jnp.float32), ts,
+                     (params, proto), rtol=1e-6, atol=1e-8)
+        assert float(jnp.max(jnp.abs(ys[m] - ref))) < 1e-3
