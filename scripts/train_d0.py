@@ -98,28 +98,60 @@ def generate_data():
     return i3, i5
 
 
-def make_objective(d3: jnp.ndarray, d5: jnp.ndarray):
-    y0 = jnp.array([0.0, 1.0], jnp.float32)
+def _rhs_hh_pop(t, y, args):
+    """Population-batched HH RHS: per-lane p1-p4 (y [POP, 2])."""
+    ps, proto = args
+    v = P.voltage(proto, t)
+    k1 = ps[:, 0] * jnp.exp(ps[:, 1] * v)
+    k2 = ps[:, 2] * jnp.exp(-ps[:, 3] * v)
+    k3 = RGATE[0] * jnp.exp(RGATE[1] * v)
+    k4 = RGATE[2] * jnp.exp(-RGATE[3] * v)
+    dadt = k1 * (1.0 - y[:, 0]) - k2 * y[:, 0]
+    drdt = -k3 * y[:, 1] + k4 * (1.0 - y[:, 1])
+    return jnp.stack([dadt, drdt], axis=-1)
+
+
+def make_objective(d3: jnp.ndarray, d5: jnp.ndarray, pop: int):
+    """Whole-population whole-trace SSE: per sweep ONE batched-lane solve
+    (solver/batched.py — in-place dense buffers, no per-lane scatters),
+    chained across the 16 sweeps like the reference's continuous trace
+    (train-d0.py:489-502)."""
+    from ionflux.solver import odeint_batched
+
     v3 = jax.vmap(lambda pr: P.voltage(pr, TS3))(ACT)
     v5 = jax.vmap(lambda pr: P.voltage(pr, TS5))(DEACT)
 
-    def sse_one(x):
-        params = HHParams(x[0], x[1], x[2], x[3], *RGATE)
-        # one continuous trace across all 16 sweeps (train-d0.py:489-502)
-        ys3 = odeint_chained(_rhs_hh, y0, TS3, ACT, params,
-                             rtol=1e-5, atol=1e-7)
-        y_mid = ys3[-1, -1]
-        ys5 = odeint_chained(_rhs_hh, y_mid, TS5, DEACT, params,
-                             rtol=1e-5, atol=1e-7)
-        i3 = ys3[..., 0] * ys3[..., 1] * (v3 - SYNTHETIC.e)
-        i5 = ys5[..., 0] * ys5[..., 1] * (v5 - SYNTHETIC.e)
-        sse = jnp.sum((i3 - d3) ** 2) + jnp.sum((i5 - d5) ** 2)
-        return jnp.where(jnp.isfinite(sse), sse, jnp.inf)
+    def sse_pop(xs):
+        y = jnp.tile(jnp.array([0.0, 1.0], jnp.float32), (pop, 1))
 
-    batched = jax.jit(jax.vmap(sse_one))
+        def sweep(carry, inp):
+            y, acc = carry
+            proto, v_row, d_row, ts = inp
+            ys = odeint_batched(_rhs_hh_pop, y, ts, (xs, proto),
+                                rtol=1e-5, atol=1e-7, buffer_size=4096)
+            i_sim = ys[:, :, 0] * ys[:, :, 1] * (v_row[None] - SYNTHETIC.e)
+            acc = acc + jnp.sum((i_sim - d_row[None]) ** 2, axis=1)
+            return (ys[:, -1, :], acc), None
+
+        acc = jnp.zeros((pop,), jnp.float32)
+        for k in range(ACT.v.shape[0]):
+            (y, acc), _ = sweep((y, acc),
+                                (jax.tree.map(lambda a: a[k], ACT), v3[k],
+                                 d3[k], TS3))
+        for k in range(DEACT.v.shape[0]):
+            (y, acc), _ = sweep((y, acc),
+                                (jax.tree.map(lambda a: a[k], DEACT), v5[k],
+                                 d5[k], TS5))
+        return jnp.where(jnp.isfinite(acc), acc, jnp.inf)
+
+    batched = jax.jit(sse_pop)
 
     def objective(xs: np.ndarray) -> np.ndarray:
-        return np.asarray(batched(jnp.asarray(xs, jnp.float32)), np.float64)
+        n = xs.shape[0]
+        if n < pop:  # pad to the compiled population width
+            xs = np.concatenate([xs, np.repeat(xs[-1:], pop - n, axis=0)])
+        return np.asarray(batched(jnp.asarray(xs, jnp.float32)),
+                          np.float64)[:n]
 
     return objective
 
@@ -129,7 +161,8 @@ def main():
     d3 = jnp.asarray(i3, jnp.float32)
     d5 = jnp.asarray(i5, jnp.float32)
 
-    objective = make_objective(d3, d5)
+    pop = 4 + int(3 * np.log(len(P0)))  # CMA-ES default population
+    objective = make_objective(d3, d5, pop)
     f0 = objective(P0[None])[0]
     print("Initial guess error:", f0)
 
