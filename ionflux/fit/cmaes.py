@@ -69,17 +69,22 @@ def cmaes(
     damps = 1 + 2 * max(0.0, np.sqrt((mueff - 1) / (n + 1)) - 1) + cs
     chi_n = np.sqrt(n) * (1 - 1 / (4 * n) + 1 / (21 * n ** 2))
 
+    sigma0 = np.asarray(sigma0, np.float64) * np.ones(n)
     if log_transform:
         to_t = np.log
         from_t = np.exp
+        # sigma in log space: the original-space spread through the local
+        # log-derivative at x0
+        sigma = float(np.mean(sigma0 / x0))
     else:
-        to_t = from_t = lambda z: z  # noqa: E731
+        # per-dimension coordinate scaling so one scalar sigma serves
+        # parameters of wildly different magnitudes
+        scale = np.where(sigma0 > 0, sigma0, 1.0)
+        to_t = lambda z: np.asarray(z, np.float64) / scale  # noqa: E731
+        from_t = lambda z: z * scale  # noqa: E731
+        sigma = 1.0
 
     m = to_t(x0)
-    sigma0 = np.asarray(sigma0, np.float64) * np.ones(n)
-    # sigma in transformed space: map the original-space spread through the
-    # local log-derivative at x0
-    sigma = float(np.mean(sigma0 / x0)) if log_transform else float(np.mean(sigma0))
 
     if bounds is not None:
         lo, hi = (to_t(np.asarray(b, np.float64)) for b in bounds)
