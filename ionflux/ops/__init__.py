@@ -1,3 +1,4 @@
+from ionflux.ops.spline import tridiag_solve, cubic_spline_m, spline_derivative
 from ionflux.ops.smoothing import (
     smooth_np,
     smooth_same_np,
@@ -7,6 +8,9 @@ from ionflux.ops.smoothing import (
 )
 
 __all__ = [
+    "tridiag_solve",
+    "cubic_spline_m",
+    "spline_derivative",
     "smooth_np",
     "smooth_same_np",
     "smooth_same",
