@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from scipy.interpolate import UnivariateSpline
@@ -124,6 +125,62 @@ def estimate_gate_surface(proto: P.Protocol, ts: jnp.ndarray,
 
     sl = slice(cfg.skip, None, cfg.sparse)
     return v_np[mask][sl], a[mask][sl], dadt[mask][sl]
+
+
+def spline_didt_segment_jax(i_seg: jnp.ndarray, dt: float,
+                            smooth_window: int = 61):
+    """Jittable per-segment smooth + interpolating-spline derivative — the
+    on-device counterpart of one spline_didt loop iteration (Hanning conv +
+    not-a-knot cubic spline, ops/spline.py). Returns (i_smooth, didt)."""
+    from ionflux.ops.smoothing import smooth_same
+    from ionflux.ops.spline import cubic_spline_m, spline_derivative
+
+    i_sm = smooth_same(i_seg, smooth_window)
+    didt = spline_derivative(i_sm, dt)
+    return i_sm, didt
+
+
+def estimate_gate_surface_ondevice(proto: P.Protocol, ts: jnp.ndarray,
+                                   current: jnp.ndarray, rgate: HHParams,
+                                   c: Constants, mask: np.ndarray,
+                                   cfg: SurfaceConfig = SurfaceConfig()):
+    """Fully on-device variant of estimate_gate_surface (s=0 path): Hanning
+    convolution + jittable not-a-knot spline derivative per segment + the
+    algebraic inversion as XLA ops.  One jit per distinct segment length
+    (cached); use the scipy path when exact FITPACK parity is required or
+    spline_s != 0."""
+    if cfg.spline_s != 0.0:
+        raise ValueError("on-device path implements the s=0 spline only")
+    t_np = np.asarray(ts, np.float64)
+    v = P.voltage(proto, ts)
+    r = solve_r_gate(proto, ts, rgate)
+    k3 = rgate.p5 * jnp.exp(rgate.p6 * v)
+    k4 = rgate.p7 * jnp.exp(-rgate.p8 * v)
+    drdt = -k3 * r + k4 * (1.0 - r)
+
+    dt = float(t_np[1] - t_np[0])
+    edges = P.segment_edges(np.asarray(proto.times(), np.float64),
+                            np.asarray(proto.v, np.float64))
+    current = jnp.asarray(current, jnp.float32)
+    i_sm = jnp.zeros_like(current)
+    didt = jnp.zeros_like(current)
+    lo = 0
+    for t_f in edges:  # static segmentation (host); each body jitted
+        hi = int(np.searchsorted(t_np, t_f, side="left"))
+        if hi - lo > cfg.smooth_window:
+            seg_sm, seg_d = jax.jit(
+                spline_didt_segment_jax, static_argnames=("smooth_window",)
+            )(current[lo:hi], dt, smooth_window=cfg.smooth_window)
+            i_sm = i_sm.at[lo:hi].set(seg_sm)
+            didt = didt.at[lo:hi].set(seg_d)
+        lo = hi
+    a = i_sm / (c.g * r * (v - c.e))
+    dadt = (1.0 / r) * ((didt / c.g) / (v - c.e) - a * drdt)
+    sl = slice(cfg.skip, None, cfg.sparse)
+    mask = jnp.asarray(mask)
+    return (np.asarray(v)[np.asarray(mask)][sl],
+            np.asarray(a)[np.asarray(mask)][sl],
+            np.asarray(dadt)[np.asarray(mask)][sl])
 
 
 def concat_surfaces(parts):

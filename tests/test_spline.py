@@ -44,3 +44,33 @@ def test_second_derivatives_not_a_knot():
     y = t ** 3 - 2 * t ** 2 + t  # cubic: spline must be exact
     m = np.asarray(cubic_spline_m(jnp.asarray(y), h))
     np.testing.assert_allclose(m, 6 * t - 4, atol=1e-3)
+
+
+def test_ondevice_surface_matches_scipy_path():
+    import jax
+    import jax.numpy as jnp
+
+    from ionflux import protocols as P
+    from ionflux.data import synth_study_currents
+    from ionflux.models.registry import HH_B06, SYNTHETIC
+    from ionflux.surface import (
+        SurfaceConfig,
+        estimate_gate_surface,
+        estimate_gate_surface_ondevice,
+    )
+
+    t1 = jnp.linspace(0.0, 8000.0, 80001, dtype=jnp.float32)
+    t2 = jnp.linspace(0.0, 10000.0, 100001, dtype=jnp.float32)
+    act, _ = synth_study_currents(HH_B06, t1, t2)
+    mask1, _ = P.s_study_masks()
+    proto = P.activation_protocol(-60.0)
+    cfg = SurfaceConfig()
+    v1, a1, d1 = estimate_gate_surface(proto, t1, act[0], HH_B06, SYNTHETIC,
+                                       mask1, cfg)
+    v2, a2, d2 = estimate_gate_surface_ondevice(
+        proto, t1, jnp.asarray(act[0], jnp.float32), HH_B06, SYNTHETIC,
+        mask1, cfg)
+    assert len(v1) == len(v2)
+    assert np.sqrt(np.mean((a1 - a2) ** 2)) < 1e-6
+    # spline boundary conditions + f32 differ at the ~0.3% level
+    assert np.sqrt(np.mean((d1 - d2) ** 2)) < 5e-6
