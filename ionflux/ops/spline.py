@@ -26,6 +26,8 @@ def tridiag_solve(dl: jnp.ndarray, d: jnp.ndarray, du: jnp.ndarray,
 
     dl: [n] sub-diagonal (dl[0] unused), d: [n] diagonal, du: [n]
     super-diagonal (du[-1] unused), b: [n] rhs (or [n, k])."""
+    dtype = jnp.result_type(dl, d, du, b)
+    dl, d, du, b = (jnp.asarray(x, dtype) for x in (dl, d, du, b))
     def fwd(carry, xs):
         cp_prev, dp_prev = carry
         dl_i, d_i, du_i, b_i = xs
@@ -56,13 +58,15 @@ def cubic_spline_m(y: jnp.ndarray, h: float | jnp.ndarray,
     """Second derivatives M[i] of the interpolating cubic spline through
     (i*h, y[i]).  bc: 'not-a-knot' | 'natural'."""
     n = y.shape[0]
+    h = jnp.asarray(h, y.dtype)
     rhs_in = 6.0 / (h * h) * (y[:-2] - 2.0 * y[1:-1] + y[2:])  # [n-2]
     if bc == "natural":
-        dl = jnp.ones(n - 2)
-        d = jnp.full(n - 2, 4.0)
-        du = jnp.ones(n - 2)
+        dl = jnp.ones(n - 2, y.dtype)
+        d = jnp.full(n - 2, 4.0, y.dtype)
+        du = jnp.ones(n - 2, y.dtype)
         m_in = tridiag_solve(dl, d, du, rhs_in)
-        return jnp.concatenate([jnp.zeros(1), m_in, jnp.zeros(1)])
+        return jnp.concatenate([jnp.zeros(1, y.dtype), m_in,
+                                jnp.zeros(1, y.dtype)])
     # not-a-knot: M0 = 2 M1 - M2 and Mn-1 = 2 Mn-2 - Mn-3; substituting into
     # the first/last interior rows gives 6 M1 = rhs[0], 6 Mn-2 = rhs[-1],
     # leaving a clean tridiagonal for the remaining interior unknowns.
@@ -73,9 +77,9 @@ def cubic_spline_m(y: jnp.ndarray, h: float | jnp.ndarray,
         rhs_mid = rhs_in[1:-1]
         rhs_mid = rhs_mid.at[0].add(-m1)
         rhs_mid = rhs_mid.at[-1].add(-mm2)
-        dl = jnp.ones(k)
-        d = jnp.full(k, 4.0)
-        du = jnp.ones(k)
+        dl = jnp.ones(k, y.dtype)
+        d = jnp.full(k, 4.0, y.dtype)
+        du = jnp.ones(k, y.dtype)
         return tridiag_solve(dl, d, du, rhs_mid)
 
     if k > 0:
@@ -94,6 +98,7 @@ def spline_derivative(y: jnp.ndarray, h: float | jnp.ndarray,
     """dy/dx of the interpolating cubic spline AT the knots (the quantity the
     reference extracts with spl.derivative()(tfit))."""
     m = cubic_spline_m(y, h, bc=bc)
+    h = jnp.asarray(h, y.dtype)
     # right-derivative on each interval start; left-derivative at the end
     d_fwd = (y[1:] - y[:-1]) / h - h / 6.0 * (2.0 * m[:-1] + m[1:])
     d_last = (y[-1] - y[-2]) / h + h / 6.0 * (2.0 * m[-1] + m[-2])
