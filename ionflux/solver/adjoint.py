@@ -92,9 +92,18 @@ def _bwd(fn, rtol, atol, max_steps, buffer_size, res, g):
             return jnp.concatenate(
                 [x.reshape(-1) for x in jax.tree.leaves(dst)])
 
-        out = odeint(vec_rhs, vec0, tau_grid, (t1, args), rtol=rtol,
-                     atol=atol, max_steps=max_steps,
-                     buffer_size=buffer_size)[-1]
+        if vec0.shape[0] > 8192:
+            # large augmented states (e.g. MLP parameters): the adaptive
+            # solver's dense buffers would be buffer_size x 7 x |aug| —
+            # integrate the short backward interval with buffer-free RK4
+            from ionflux.solver.fixed import odeint_rk4
+
+            out = odeint_rk4(vec_rhs, vec0, tau_grid, (t1, args),
+                             n_sub=16)[-1]
+        else:
+            out = odeint(vec_rhs, vec0, tau_grid, (t1, args), rtol=rtol,
+                         atol=atol, max_steps=max_steps,
+                         buffer_size=buffer_size)[-1]
         parts = []
         off = 0
         for sz, sh in zip(sizes, shapes):
