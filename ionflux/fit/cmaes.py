@@ -155,6 +155,40 @@ def cmaes(
                        evaluations=evals, history=history)
 
 
+def shard_objective(mesh, per_member_fn: Callable, popsize: int,
+                    n_params: int):
+    """Distribute a population objective across a device mesh.
+
+    per_member_fn: (params [n_params]) -> scalar loss, jittable.  Members are
+    sharded along the mesh's first axis (the TPU-native replacement for the
+    reference's pints ``set_parallel(True)`` multiprocessing,
+    train-d0.py:538); each device evaluates its shard, results gather back.
+    popsize must divide evenly by the axis size (pad at call sites).
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as Ps
+
+    axis = mesh.axis_names[0]
+    fn = jax.jit(
+        jax.vmap(per_member_fn),
+        in_shardings=NamedSharding(mesh, Ps(axis, None)),
+        out_shardings=NamedSharding(mesh, Ps(axis)),
+    )
+
+    def objective(xs: np.ndarray) -> np.ndarray:
+        n = xs.shape[0]
+        pad = (-n) % popsize
+        if pad:
+            xs = np.concatenate([xs, np.repeat(xs[-1:], pad, axis=0)])
+        import jax.numpy as jnp
+
+        with mesh:
+            out = fn(jnp.asarray(xs, jnp.float32))
+        return np.asarray(out, np.float64)[:n]
+
+    return objective
+
+
 def fmin(f: Callable[[np.ndarray], float], x0, sigma0=None, max_iter=None,
          **kw):
     """pints.fmin-style convenience wrapper around a scalar objective

@@ -113,3 +113,28 @@ def test_checkpoint_roundtrip(tmp_path):
     assert epoch == 400 and loss == [0.5, 0.2]
     for (w1, b1), (w2, b2) in zip(net, net2):
         np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+
+
+def test_cmaes_with_sharded_objective():
+    """CMA-ES with the population distributed across the 8-device mesh —
+    the TPU replacement for pints set_parallel(True)."""
+    import jax as _jax
+
+    if len(_jax.devices()) < 8:
+        import pytest as _pytest
+
+        _pytest.skip("needs the 8-device CPU mesh")
+    from ionflux.fit.cmaes import shard_objective
+    from ionflux.parallel import make_mesh
+
+    mesh = make_mesh(8, ("pop",))
+    opt = np.array([2e-4, 5e-2, 1e-5, 7e-2])
+
+    def member(x):
+        return jnp.sum((jnp.log(x) - jnp.log(jnp.asarray(opt, jnp.float32)))
+                       ** 2)
+
+    objective = shard_objective(mesh, member, popsize=8, n_params=4)
+    res = cmaes(objective, opt * 2.0, 0.1 * opt * 2.0, popsize=8,
+                bounds=(opt * 0.01, opt * 100.0), seed=0)
+    np.testing.assert_allclose(res.x, opt, rtol=1e-3)
