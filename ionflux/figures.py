@@ -113,3 +113,35 @@ def latex_table(path: str, header: list[str], rows: dict, caption: str = ""):
         fh.write("\\hline\n\\end{tabular}\n")
     with open(path) as fh:
         print(fh.read())
+
+
+def surface_scatter_3d(path: str, v, a, dadt, net=None, nnd_base=None):
+    """The reference's (V, a, da/dt) debug scatter with optional learned-
+    surface overlay (train-s1.py:810-822 --debug; rates3d-*.png at :931-941).
+    """
+    import numpy as _np
+
+    from mpl_toolkits import mplot3d  # noqa: F401
+
+    fig = plt.figure(figsize=(6, 5))
+    ax = plt.axes(projection="3d")
+    ax.scatter(_np.asarray(v), _np.asarray(a), _np.asarray(dadt), s=1,
+               alpha=0.4)
+    if net is not None:
+        from ionflux.models.hh import a_gate_rhs
+        from ionflux.models.nn import nn_surface
+
+        vv, aa = _np.meshgrid(_np.linspace(-130, 70, 50),
+                              _np.linspace(0, 1, 50))
+        zz = nn_surface(net, jnp.asarray(vv, jnp.float32),
+                        jnp.asarray(aa, jnp.float32))
+        if nnd_base is not None:
+            zz = zz + a_gate_rhs(nnd_base, jnp.asarray(aa, jnp.float32),
+                                 jnp.asarray(vv, jnp.float32))
+        ax.plot_surface(vv, aa, _np.asarray(zz), color="C1", alpha=0.5)
+    ax.set_xlabel("V (mV)")
+    ax.set_ylabel("a")
+    ax.set_zlabel("da/dt")
+    fig.tight_layout()
+    fig.savefig(path, dpi=170)
+    plt.close(fig)

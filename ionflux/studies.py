@@ -132,7 +132,7 @@ def wrap_net(spec: SyntheticStudy, net):
 
 
 def run_study(spec: SyntheticStudy, outdir: str, iters: int | None = None,
-              cached: bool = False, target_net=None):
+              cached: bool = False, target_net=None, debug: bool = False):
     """Full training pipeline; returns trained model params.
 
     target_net: optional s1-trained net for the s2 "Target Loss" print
@@ -169,6 +169,16 @@ def run_study(spec: SyntheticStudy, outdir: str, iters: int | None = None,
 
     params = wrap_net(spec, net)
     save_pytree(os.path.join(outdir, "model.npz"), params)
+
+    if debug:
+        # the reference's --debug / rates3d surface plots
+        # (train-s1.py:810-822, 931-941)
+        from ionflux.figures import surface_scatter_3d
+
+        surface_scatter_3d(
+            os.path.join(outdir, "rates3d-000.png"), v, a, dadt, net=net,
+            nnd_base=spec.base_hh if spec.model_kind == "nnd" else None)
+        print(f"wrote {outdir}/rates3d-000.png")
 
     # AP2Hz validation print (train-s1.py:914-920)
     ap2hz = P.load_csv(f"{REFDIR}/test-protocols/ap2hz.csv")

@@ -16,4 +16,5 @@ from ionflux.studies import D1, load_study_params, predict_study, run_study  # n
 if args.pred:
     predict_study(D1, load_study_params(D1, OUT))
 else:
-    run_study(D1, OUT, iters=args.iters, cached=args.cached)
+    run_study(D1, OUT, iters=args.iters, cached=args.cached,
+              debug=args.debug)

@@ -17,4 +17,5 @@ from ionflux.studies import D2, load_study_params, predict_study, run_study  # n
 if args.pred:
     predict_study(D2, load_study_params(D2, OUT))
 else:
-    run_study(D2, OUT, iters=args.iters, cached=args.cached)
+    run_study(D2, OUT, iters=args.iters, cached=args.cached,
+              debug=args.debug)

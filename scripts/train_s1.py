@@ -16,4 +16,5 @@ from ionflux.studies import S1, load_study_params, predict_study, run_study  # n
 if args.pred:
     predict_study(S1, load_study_params(S1, OUT))
 else:
-    run_study(S1, OUT, iters=args.iters, cached=args.cached)
+    run_study(S1, OUT, iters=args.iters, cached=args.cached,
+              debug=args.debug)

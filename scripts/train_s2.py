@@ -30,4 +30,4 @@ else:
     if os.path.exists(s1_model):
         target_net = load_study_params(S1, os.path.dirname(s1_model)).net
     run_study(S2, OUT, iters=args.iters, cached=args.cached,
-              target_net=target_net)
+              target_net=target_net, debug=args.debug)
