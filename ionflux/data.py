@@ -16,7 +16,7 @@ import numpy as np
 
 from ionflux import protocols as P
 from ionflux.models import hh_rhs, markov_rhs, MARKOV_Y0_REST
-from ionflux.models.registry import Constants, HHParams, MarkovParams, SYNTHETIC
+from ionflux.models.registry import Constants, MarkovParams, SYNTHETIC
 from ionflux.observe import NOISE_SIGMA, gate_current, markov_current
 from ionflux.solver import odeint
 

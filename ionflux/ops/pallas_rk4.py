@@ -26,16 +26,13 @@ acceptance (verified in tests against the adaptive solver).
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ionflux.models.registry import HHParams, NETSCALE, VRANGE
 
 LANES = 128
 

@@ -31,7 +31,6 @@ from ionflux.solver.dopri5 import (
     _P_DENSE,
     _initial_step,
     _rk_step,
-    _rms,
 )
 
 

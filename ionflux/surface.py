@@ -133,7 +133,7 @@ def spline_didt_segment_jax(i_seg: jnp.ndarray, dt: float,
     on-device counterpart of one spline_didt loop iteration (Hanning conv +
     not-a-knot cubic spline, ops/spline.py). Returns (i_smooth, didt)."""
     from ionflux.ops.smoothing import smooth_same
-    from ionflux.ops.spline import cubic_spline_m, spline_derivative
+    from ionflux.ops.spline import spline_derivative
 
     i_sm = smooth_same(i_seg, smooth_window)
     didt = spline_derivative(i_sm, dt)

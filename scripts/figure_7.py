@@ -13,9 +13,7 @@ from common import setup, study_parser  # noqa: E402
 args = study_parser("Figure 7: steady-state analysis.").parse_args()
 OUT = setup(args, "figure-7")
 
-import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
-import numpy as np  # noqa: E402
 import matplotlib  # noqa: E402
 
 matplotlib.use("Agg")
@@ -23,7 +21,7 @@ import matplotlib.pyplot as plt  # noqa: E402
 
 from ionflux import protocols as P  # noqa: E402
 from ionflux.eval import solve_states  # noqa: E402
-from ionflux.models.hh import hh_steady_state, r_gate_rhs  # noqa: E402
+from ionflux.models.hh import hh_steady_state  # noqa: E402
 from ionflux.models.nn import nn_surface  # noqa: E402
 from ionflux.models.registry import (  # noqa: E402
     CELL5_R1,

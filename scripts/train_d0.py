@@ -41,7 +41,6 @@ from ionflux.models.registry import (  # noqa: E402
     HH_B06,
     MARKOV_B06,
     SYNTHETIC,
-    HHParams,
 )
 from ionflux.observe import NOISE_SIGMA  # noqa: E402
 from ionflux.solver import odeint_chained  # noqa: E402

@@ -28,7 +28,6 @@ OUT = setup(args, "neural-ode")
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
-import numpy as np  # noqa: E402
 import optax  # noqa: E402
 
 from ionflux import protocols as P  # noqa: E402

@@ -34,12 +34,6 @@ if missing:
 
 # Data-present path: identical structure to train_d0 but with measured
 # currents and the recorded Pr3+Pr4 protocols.
-import jax.numpy as jnp  # noqa: E402
-
-from ionflux import protocols as P  # noqa: E402
-from ionflux.fit.cmaes import cmaes  # noqa: E402
-from ionflux.models.registry import CELL5_RGATE, HH_CELL5_INIT  # noqa: E402
-
 raw3 = np.loadtxt(os.path.join(DATA, needed[0]), delimiter=",", skiprows=1)
 raw4 = np.loadtxt(os.path.join(DATA, needed[1]), delimiter=",", skiprows=1)
 print("measured data present — wire the recorded protocols into the d0-style "
