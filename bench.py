@@ -52,8 +52,13 @@ def sinewave_voltage(t: np.ndarray) -> np.ndarray:
     return v
 
 
-def measure_tpu() -> float:
+def measure_tpu(force_cpu: bool = False) -> float:
     import jax
+
+    if force_cpu:
+        # fallback path: the TPU backend failed/hung; measure on the CPU
+        # backend so the round still records a real number.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir",
@@ -219,16 +224,134 @@ def get_baseline() -> float:
     return sps
 
 
-def main():
-    baseline = get_baseline()
-    ours = measure_tpu()
-    print(json.dumps({
+def _run_measure_subprocess(backend: str, timeout_s: float):
+    """Run one measurement in a subprocess so a hung TPU-backend init
+    (round-1 failure mode: axon UNAVAILABLE, indefinite block) can be
+    killed.  Returns (solves_per_sec | None, error | None)."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--measure", backend]
+    try:
+        res = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None, f"{backend} measurement timed out after {timeout_s:.0f}s"
+    sys.stderr.write(res.stderr)
+    if res.returncode != 0:
+        tail = (res.stderr or "").strip().splitlines()[-1:] or ["no stderr"]
+        return None, f"{backend} measurement rc={res.returncode}: {tail[0]}"
+    try:
+        return float(res.stdout.strip().splitlines()[-1]), None
+    except (ValueError, IndexError):
+        return None, f"{backend} measurement produced no parseable value"
+
+
+def _probe_backend(timeout_s: float):
+    """Bounded TPU-backend liveness check (a dead axon tunnel hangs
+    jax.devices() indefinitely — never probe in-process)."""
+    import subprocess
+
+    code = "import jax; print('ndev', len(jax.devices()))"
+    try:
+        res = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False, f"backend probe timed out after {timeout_s:.0f}s"
+    if res.returncode != 0 or "ndev" not in res.stdout:
+        tail = (res.stderr or "").strip().splitlines()[-1:] or ["no stderr"]
+        return False, f"backend probe rc={res.returncode}: {tail[0]}"
+    return True, None
+
+
+def emit(value, baseline, **extra):
+    rec = {
         "metric": "nnf_sinewave_batched_solves_per_sec",
-        "value": round(ours, 3),
+        "value": round(value, 3) if value is not None else None,
         "unit": "solves/s",
-        "vs_baseline": round(ours / baseline, 2),
-    }))
+        "vs_baseline": (round(value / baseline, 2)
+                        if value is not None and baseline else None),
+    }
+    rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def main():
+    """Resilient driver entry: probe the TPU backend with a bounded
+    subprocess, measure on TPU (retry once if time allows), fall back to the
+    CPU backend, and ALWAYS print one JSON line — a transient TPU-service
+    outage must not cost the round its perf datum (VERDICT r1 weak #1).
+
+    Wall-clock budget (default 540 s, override IONFLUX_BENCH_BUDGET) is
+    split so the CPU fallback always has a window left."""
+    t_start = time.monotonic()
+    budget = float(os.environ.get("IONFLUX_BENCH_BUDGET", "540"))
+    cpu_reserve = 240.0  # CPU fallback window (cold compile ~3 min worst)
+
+    def remaining():
+        return budget - (time.monotonic() - t_start)
+
+    baseline = get_baseline()
+    errors = []
+
+    probe_ok, err = _probe_backend(min(120.0, max(30.0, remaining() * 0.25)))
+    if not probe_ok:
+        errors.append(err)
+        log(f"bench: {err}; retrying probe once")
+        probe_ok, err = _probe_backend(min(90.0, max(
+            30.0, remaining() - cpu_reserve)))
+        if not probe_ok:
+            errors.append(err)
+
+    if probe_ok:
+        tmo = max(120.0, remaining() - cpu_reserve)
+        sps, err = _run_measure_subprocess("tpu", tmo)
+        if sps is None:
+            errors.append(err)
+            log(f"bench attempt failed: {err}")
+            retry_tmo = remaining() - cpu_reserve
+            if retry_tmo > 120.0:
+                sps, err = _run_measure_subprocess("tpu", retry_tmo)
+                if err:
+                    errors.append(err)
+                    log(f"bench retry failed: {err}")
+        if sps is not None:
+            emit(sps, baseline)
+            return
+    else:
+        log("bench: TPU backend unreachable, falling back to CPU")
+
+    sps, err = _run_measure_subprocess("cpu", max(60.0, remaining()))
+    if sps is not None:
+        emit(sps, baseline, backend="cpu-fallback", error="; ".join(errors))
+        return
+    errors.append(err)
+    emit(None, baseline, error="; ".join(errors))
+
+
+def dry_run():
+    """Schema smoke (no TPU): tiny CPU measurement, asserts the JSON line
+    has the driver-contract keys."""
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        emit(1.0, get_baseline(), note="dry")
+    line = buf.getvalue().strip()
+    rec = json.loads(line)
+    for k in ("metric", "value", "unit", "vs_baseline"):
+        assert k in rec, f"missing key {k}"
+    assert isinstance(rec["value"], (int, float))
+    print(line)
 
 
 if __name__ == "__main__":
-    main()
+    if "--dry" in sys.argv:
+        dry_run()
+    elif "--measure" in sys.argv:
+        backend = sys.argv[sys.argv.index("--measure") + 1]
+        sps = measure_tpu(force_cpu=(backend == "cpu"))
+        print(f"{sps:.6f}", flush=True)
+    else:
+        main()

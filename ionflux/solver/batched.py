@@ -51,8 +51,12 @@ def odeint_batched(
     """Integrate dy/dt = fn(t, y, args) for B systems in lockstep.
 
     fn maps (t, y [B, S], args) -> dy [B, S] (e.g. a vmapped-RHS closure or a
-    batched MLP). Returns ys [B, T, S]; diverged batches poison the whole
-    solve to inf (use per-lane vmap when isolation matters).
+    batched MLP). Returns ys [B, T, S].  Divergence is isolated PER LANE: a
+    lane that stays non-finite at the minimum step size is marked dead,
+    excluded from the shared controller, frozen, and returned as inf — the
+    remaining lanes keep their accuracy (reference per-member sentinel:
+    train-d0.py:427-438; one bad CMA-ES member must not erase the
+    generation's ranking information).
     """
     rhs = lambda t, y: fn(t, y, args)  # noqa: E731
     dtype = y0.dtype
@@ -74,19 +78,31 @@ def odeint_batched(
     buf_y = jnp.zeros((nbuf + 1, b, s), dtype)
     buf_k = jnp.zeros((nbuf + 1, 7, b, s), dtype)
 
+    # lanes that start non-finite are dead from step 0
+    lane_ok0 = jnp.all(jnp.isfinite(y0), axis=-1) & jnp.all(
+        jnp.isfinite(f0), axis=-1)
+
     def cond(state):
         return state[6]
 
     def body(state):
-        t, y, f, h, n_acc, n_step, alive, bt, bh, by, bk = state
+        t, y, f, h, n_acc, n_step, alive, lane_ok, bt, bh, by, bk = state
         h_eff = jnp.maximum(jnp.minimum(h, t_end - t), h_min)
 
         y1, f1, k, err = _rk_step(rhs, t, y, f, h_eff, tab)
         scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
-        # per-lane RMS, shared accept on the worst lane
-        ratio = jnp.sqrt(jnp.max(jnp.mean((err / scale) ** 2, axis=-1)))
-        finite = jnp.all(jnp.isfinite(y1)) & jnp.isfinite(ratio)
-        accept = (ratio <= 1.0) & finite
+        ratio_l = jnp.sqrt(jnp.mean((err / scale) ** 2, axis=-1))   # [B]
+        lane_fin = jnp.all(jnp.isfinite(y1), axis=-1) & jnp.isfinite(ratio_l)
+        # shared accept on the worst LIVE lane; dead lanes never block
+        any_bad = jnp.any(lane_ok & ~lane_fin)
+        ratio = jnp.max(jnp.where(lane_ok & lane_fin, ratio_l, 0.0))
+        accept = (ratio <= 1.0) & ~any_bad
+        # a live lane that cannot pass even at the minimum step size —
+        # non-finite, or error ratio still > 1 (finite-time blow-up pins h
+        # at h_min without ever overflowing) — is dead: exclude it from the
+        # controller and freeze its state from now on
+        lane_pass = lane_fin & (ratio_l <= 1.0)
+        lane_ok2 = lane_ok & (lane_pass | (h_eff > h_min * 2))
 
         idx = jnp.where(accept, n_acc, nbuf)  # scalar index -> in-place DUS
         bt = bt.at[idx].set(t)
@@ -94,26 +110,31 @@ def odeint_batched(
         by = by.at[idx].set(y)
         bk = bk.at[idx].set(k)
 
+        adv = accept & lane_ok2                              # [B]
         t_new = jnp.where(accept, t + h_eff, t)
-        y_new = jnp.where(accept, y1, y)
-        f_new = jnp.where(accept, f1, f)
+        y_new = jnp.where(adv[:, None], y1, y)
+        f_new = jnp.where(adv[:, None], f1, f)
         n_acc2 = n_acc + accept.astype(jnp.int32)
         factor = SAFETY * jnp.power(jnp.maximum(ratio, 1e-10), -0.2)
-        factor = jnp.where(jnp.isfinite(factor), factor, MIN_FACTOR)
+        # non-finite live lane: shrink hard (rescues transient overflow;
+        # if it persists to h_min the lane is declared dead above)
+        factor = jnp.where(any_bad | ~jnp.isfinite(factor), MIN_FACTOR,
+                           factor)
         h_new = h_eff * jnp.clip(factor, MIN_FACTOR,
                                  jnp.where(accept, MAX_FACTOR, 1.0))
         n2 = n_step + 1
         done = t_new >= t_end
-        dead = ((~jnp.isfinite(ratio) & (h_eff <= h_min * 2))
+        dead = (~jnp.any(lane_ok2)
                 | (n2 >= max_steps) | (n_acc2 >= nbuf))
         return (t_new, y_new, f_new, h_new, n_acc2, n2,
-                alive & ~done & ~dead, bt, bh, by, bk)
+                alive & ~done & ~dead, lane_ok2, bt, bh, by, bk)
 
     init = (t0, y0, f0, h0, jnp.int32(0), jnp.int32(0), jnp.bool_(True),
-            buf_t, buf_h, buf_y, buf_k)
-    (t, y, f, h, n_acc, n_step, _a, bt, bh, by, bk) = jax.lax.while_loop(
-        cond, body, init)
-    ok = (t >= t_end) & jnp.all(jnp.isfinite(y)) & (n_acc > 0)
+            lane_ok0, buf_t, buf_h, buf_y, buf_k)
+    (t, y, f, h, n_acc, n_step, _a, lane_ok, bt, bh, by, bk) = (
+        jax.lax.while_loop(cond, body, init))
+    ok = (lane_ok & (t >= t_end) & jnp.all(jnp.isfinite(y), axis=-1)
+          & (n_acc > 0))                                     # [B]
 
     idx = jnp.clip(jnp.searchsorted(bt, ts, side="right") - 1, 0,
                    jnp.maximum(n_acc - 1, 0))
@@ -124,7 +145,7 @@ def odeint_batched(
         "tj,tjbs->tbs", bpoly, bk[idx])
     ys = ys.at[0].set(y0)
     ys = jnp.transpose(ys, (1, 0, 2))                         # [B, T, S]
-    ys = jnp.where(ok, ys, jnp.full_like(ys, jnp.inf))
+    ys = jnp.where(ok[:, None, None], ys, jnp.inf)            # per-lane fill
     if return_stats:
         return ys, SolveStats(ok=ok, n_accepted=n_acc, n_steps=n_step)
     return ys

@@ -107,3 +107,54 @@ def test_batched_lane_solver_matches_per_lane():
         ref = odeint(hh_proto_rhs, jnp.array([0.0, 1.0], jnp.float32), ts,
                      (params, proto), rtol=1e-6, atol=1e-8)
         assert float(jnp.max(jnp.abs(ys[m] - ref))) < 1e-3
+
+
+def test_batched_lane_solver_isolates_poisoned_lane():
+    """Per-lane divergence sentinel (VERDICT r1 weak #7): one diverging
+    CMA-ES member must return inf for its lane ONLY, leaving the other
+    lanes finite and accurate — otherwise a single bad member erases the
+    whole generation's ranking information (train-d0.py:427-438)."""
+    from ionflux.solver import odeint_batched
+
+    proto = P.activation_protocol(20.0, dt_ms=1.0)
+    ts = jnp.linspace(0.0, 2000.0, 41, dtype=jnp.float32)
+    b = 6
+    pops = jnp.stack([
+        jnp.array([float(x) * (1.0 + 0.02 * i) for x in HH_B06], jnp.float32)
+        for i in range(b)
+    ])
+    # poison lane 2 with a marker (p2 < 0) that switches on a tan-type
+    # finite-time blow-up term: da/dt += 50(1 + a^2) diverges at t ~ 0.03 ms
+    pops = pops.at[2, 0].set(0.0).at[2, 1].set(-1.0)
+
+    def rhs_b(t, y, args):
+        ps, pr = args
+        v = P.voltage(pr, t)
+        k1 = jnp.abs(ps[:, 0]) * jnp.exp(jnp.abs(ps[:, 1]) * v)
+        k2 = ps[:, 2] * jnp.exp(-ps[:, 3] * v)
+        k3 = ps[:, 4] * jnp.exp(ps[:, 5] * v)
+        k4 = ps[:, 6] * jnp.exp(-ps[:, 7] * v)
+        dadt = k1 * (1 - y[:, 0]) - k2 * y[:, 0]
+        dadt = dadt + jnp.where(ps[:, 1] < 0,
+                                50.0 * (1.0 + y[:, 0] ** 2), 0.0)
+        drdt = -k3 * y[:, 1] + k4 * (1 - y[:, 1])
+        return jnp.stack([dadt, drdt], axis=-1)
+
+    y0b = jnp.tile(jnp.array([0.0, 1.0], jnp.float32), (b, 1))
+    ys, st = odeint_batched(rhs_b, y0b, ts, (pops, proto),
+                            rtol=1e-5, atol=1e-7, max_steps=20_000,
+                            return_stats=True)
+    ok = np.asarray(st.ok)
+    assert ok.shape == (b,)
+    assert not ok[2], "poisoned lane should be marked failed"
+    assert not np.isfinite(np.asarray(ys[2])).any()
+    healthy = [m for m in range(b) if m != 2]
+    assert ok[healthy].all(), f"healthy lanes poisoned: ok={ok}"
+
+    from ionflux.models.registry import HHParams
+
+    for m in healthy:
+        params = HHParams(*[jnp.float32(x) for x in pops[m]])
+        ref = odeint(hh_proto_rhs, jnp.array([0.0, 1.0], jnp.float32), ts,
+                     (params, proto), rtol=1e-5, atol=1e-7)
+        assert float(jnp.max(jnp.abs(ys[m] - ref))) < 2e-3

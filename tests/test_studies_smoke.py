@@ -6,9 +6,9 @@ import os
 import numpy as np
 import pytest
 
-# full-runner smoke tests compile several solver variants (~8 min cold on the
-# CPU backend); opt in with IONFLUX_SLOW_TESTS=1
-pytestmark = pytest.mark.skipif(
+# the full-runner smoke tests compile several solver variants (~8 min cold
+# on the CPU backend); opt in with IONFLUX_SLOW_TESTS=1
+slow = pytest.mark.skipif(
     not os.environ.get("IONFLUX_SLOW_TESTS"),
     reason="slow end-to-end smoke tests (set IONFLUX_SLOW_TESTS=1)")
 
@@ -16,6 +16,7 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "out")
 
 
+@slow
 def test_run_study_s1_smoke(tmp_path):
     from ionflux.studies import S1, run_study
 
@@ -32,6 +33,7 @@ def test_run_study_s1_smoke(tmp_path):
     assert all(np.isfinite(np.asarray(w)).all() for w, _ in params.net)
 
 
+@slow
 def test_run_real_study_smoke(tmp_path, reference_dir):
     from ionflux.rstudies import R1, run_real_study
 
