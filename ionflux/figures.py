@@ -48,6 +48,27 @@ def load_d_models(out_root: str):
     return models
 
 
+def load_d_models_reference(refdir: str = "/root/reference"):
+    """The same trio built from the REFERENCE's archived checkpoints
+    (table-1.py:110-396): d0-fitted candidate + d1/d2 stored weights.
+    Used for oracle parity tables against table-1/table-1.txt."""
+    import jax.numpy as jnp_
+
+    from ionflux.models.nn import NNdParams, NNfParams
+    from ionflux.models.registry import HH_D0_FIT, HH_D0_INIT, HH_D2_BASE
+    from ionflux.utils import load_mlp_state_dict
+
+    def net(study):
+        return [(jnp_.asarray(w), jnp_.asarray(b)) for w, b in
+                load_mlp_state_dict(f"{refdir}/{study}/model-state-dict.pt")]
+
+    return {
+        "Original": ("hh", HH_D0_FIT, "C2--"),
+        "NN-f": ("nnf", NNfParams(net=net("d1"), rgate=HH_D0_INIT), "C0--"),
+        "NN-d": ("nnd", NNdParams(net=net("d2"), hh=HH_D2_BASE), "C1--"),
+    }
+
+
 def cached_sim(cache_dir: str, name: str, cached: bool, kind: str, params,
                proto: P.Protocol, ts, c: Constants, **kw) -> np.ndarray:
     """Simulate-with-npz-cache (the reference's --cached .pt caches,

@@ -134,3 +134,50 @@ def real_surface_smoothi(t, i, v, rgate: HHParams, c: Constants,
     sl = slice(cfg.skip, None, cfg.sparse)
     return (t[mask][sl], v[mask][sl], ao[mask][sl], dadto[mask][sl],
             d2o[mask][sl])
+
+
+# ---------------------------------------------------------------------------
+# Measured-current recovery from the reference's cached training surfaces
+# ---------------------------------------------------------------------------
+
+def recover_measurements(surface_dir: str, c: Constants, rgate: HHParams,
+                         dtype=None):
+    """Recover the (smoothed) measured Pr3/Pr5 currents from a cached
+    r-study training surface.
+
+    The surface stores a = I_smoothed / (g r (V - E)) at the retained sample
+    times (train-r1.py:748-793), so with the known r-gate simulated on the
+    reconstructed real protocols the measured current is
+    I = a g r (V - E) — exactly the reference's own smoothed recording at
+    ~90% of samples (capacitance-masked, [10::7]-subsampled).  This is what
+    makes reference-faithful validation MAEs (train-r1.py:928-959) possible
+    without the missing CSVs.
+
+    Returns {"pr3": (t_local, i), "pr5": (t_local, i)} with t in protocol-
+    local ms.
+    """
+    import jax
+
+    from ionflux import protorec
+    from ionflux.utils.ptload import pt_load
+
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    t = np.asarray(pt_load(f"{surface_dir}/t.pt"))
+    v = np.asarray(pt_load(f"{surface_dir}/v.pt"))
+    a = np.asarray(pt_load(f"{surface_dir}/a.pt"))
+    n1 = protorec.PR3_N
+    in3 = np.round(t / protorec.DT_MS).astype(np.int64) < n1
+    out = {}
+    for name, sel, offs in (("pr3", in3, 0.0),
+                            ("pr5", ~in3, (n1 - 1) * protorec.DT_MS)):
+        tl = t[sel] - offs
+        proto = protorec.protocol(f"{name}-cell5", dtype=dtype)
+        ts = jnp.concatenate([jnp.zeros((1,), dtype),
+                              jnp.asarray(tl, dtype)])
+        r = np.asarray(solve_r_gate(proto, ts, rgate,
+                                    max_steps=1_000_000,
+                                    buffer_size=65536))[1:]
+        i = a[sel] * float(c.g) * r * (v[sel] - float(c.e))
+        out[name] = (tl, i)
+    return out

@@ -168,13 +168,52 @@ def pretrain_r(spec: RealStudy, net):
 
 def rollout_health(spec: RealStudy, params) -> tuple[float, bool]:
     """Degraded-mode validation: solve the nominal Pr5 template whole-trace;
-    returns (mean |I|, finite?). Real validation MAEs need the missing
-    cell-5 CSVs (train-r1.py:930-945)."""
+    returns (mean |I|, finite?). Used only when neither the cell-5 CSVs nor
+    the reconstructed protocols + cached surfaces are available."""
     proto = P.deactivation_protocol(-80.0, dt_ms=1.0)
     ts = jnp.linspace(0.0, 10000.0, 1001, dtype=jnp.float32)
     i = simulate(spec.model_kind, params, proto, ts, spec.constants)
     finite = bool(jnp.all(jnp.isfinite(i)))
     return float(jnp.mean(jnp.abs(i))) if finite else float("inf"), finite
+
+
+class RealValidator:
+    """Reference-faithful validation rollouts (train-r1.py:928-959).
+
+    The reference scores every 400 iters by whole-trace MAE against the
+    measured APs and Pr5 currents and keeps the best checkpoint — this
+    selection does the heavy lifting (the archived r1 best checkpoint is from
+    epoch 401/16000; by 15601 the Pr5 MAE has degraded 4.5x).  The measured
+    APs current is not recoverable from the mount, so we score on the
+    recovered Pr5 (+Pr3, reported) measurements at the retained sample times
+    (realdata.recover_measurements) over the reconstructed real protocols.
+    """
+
+    def __init__(self, spec: RealStudy, protocols=("pr5", "pr3")):
+        from ionflux import protorec
+        from ionflux.realdata import recover_measurements
+
+        meas = recover_measurements(f"{REFDIR}/{spec.surface_dir}",
+                                    spec.constants, spec.rgate)
+        self.spec = spec
+        self.cases = []
+        for name in protocols:
+            tl, i_meas = meas[name]
+            proto = protorec.protocol(f"{name}-cell5", dtype=jnp.float32)
+            ts = jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                                  jnp.asarray(tl, jnp.float32)])
+            self.cases.append((name, proto, ts,
+                               jnp.asarray(i_meas, jnp.float32)))
+
+    def __call__(self, params) -> dict[str, float]:
+        out = {}
+        for name, proto, ts, i_meas in self.cases:
+            i = simulate(self.spec.model_kind, params, proto, ts,
+                         self.spec.constants, max_steps=400_000,
+                         buffer_size=32768)[1:]
+            mae = float(jnp.mean(jnp.abs(i - i_meas)))
+            out[name] = mae if np.isfinite(mae) else float("inf")
+        return out
 
 
 def run_real_study(spec: RealStudy, outdir: str, iters: int | None = None,
@@ -203,10 +242,18 @@ def run_real_study(spec: RealStudy, outdir: str, iters: int | None = None,
     net = pretrain_r(spec, params0.net)
     print("pretrain done")
 
+    validator = None
+    try:
+        validator = RealValidator(spec)
+    except Exception as exc:  # reference surfaces/assets absent
+        print(f"(real validation unavailable: {exc}; "
+              "falling back to rollout-health selection)")
+
     total = iters if iters is not None else spec.iters
     chunk = min(400, total)
     opt_state = init_opt_state(net, 1e-3, spec.step_size, 0.9)
     best = float("inf")
+    best_params = wrap_net(spec, net)
     done = 0
     while done < total:
         n = min(chunk, total - done)
@@ -216,16 +263,30 @@ def run_real_study(spec: RealStudy, outdir: str, iters: int | None = None,
         done += n
         train_loss = float(losses[-1])
         params = wrap_net(spec, net)
-        val, finite = rollout_health(spec, params)
-        score = train_loss if finite else float("inf")
+        if validator is not None:
+            maes = validator(params)
+            # selection on the Pr5 prediction MAE (the reference sums the
+            # measured APs + Pr5 MAEs, train-r1.py:947-951; APs data is
+            # unrecoverable, Pr3 is reported for visibility)
+            score = maes["pr5"]
+            val_txt = " | ".join(
+                f"{k} MAE {v_:.6f}" for k, v_ in maes.items())
+            losses_meta = [train_loss] + list(maes.values())
+        else:
+            val, finite = rollout_health(spec, params)
+            score = train_loss if finite else float("inf")
+            val_txt = (f"rollout mean|I| {val:.4f} "
+                       f"({'ok' if finite else 'DIVERGED'})")
+            losses_meta = [train_loss, val]
         is_best = score < best
         if is_best:
             best = score
-        print(f"Iter {done} | Loss {train_loss:.6f} | rollout mean|I| "
-              f"{val:.4f} ({'ok' if finite else 'DIVERGED'})"
+            best_params = params
+        print(f"Iter {done} | Loss {train_loss:.6f} | {val_txt}"
               + (" | ===== Current best model =====" if is_best else ""))
-        save_checkpoint(outdir, params, opt_state, done, [train_loss, val],
+        save_checkpoint(outdir, params, opt_state, done, losses_meta,
                         suffix=suffix, is_best=is_best)
     params = wrap_net(spec, net)
     save_pytree(os.path.join(outdir, "model.npz"), params)
-    return params
+    save_pytree(os.path.join(outdir, "best-model.npz"), best_params)
+    return best_params

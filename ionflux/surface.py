@@ -50,7 +50,7 @@ class SurfaceConfig:
 
 
 def solve_r_gate(proto: P.Protocol, ts: jnp.ndarray, rgate: HHParams,
-                 r0: float = 1.0) -> jnp.ndarray:
+                 r0: float = 1.0, **kw) -> jnp.ndarray:
     """Simulate the known r-gate alone (it is autonomous given V(t)).
 
     The reference solves the full 2-state NN-f model with a random net just
@@ -62,7 +62,7 @@ def solve_r_gate(proto: P.Protocol, ts: jnp.ndarray, rgate: HHParams,
         return r_gate_rhs(rg, y, P.voltage(pr, t))
 
     y0 = jnp.array([r0], ts.dtype)
-    return odeint(rhs, y0, ts, (rgate, proto), rtol=1e-6, atol=1e-8)[:, 0]
+    return odeint(rhs, y0, ts, (rgate, proto), rtol=1e-6, atol=1e-8, **kw)[:, 0]
 
 
 def spline_didt(t: np.ndarray, i: np.ndarray, edges: np.ndarray,

@@ -1,8 +1,16 @@
 #!/usr/bin/env python
-"""Table 1: d-study MAEs (Original / NN-f / NN-d) on training and prediction
-protocols.  Reference table-1.py; columns whose recorded protocol files are
-absent (Pr4, sinusoidal, APs) are replaced by the available AP2Hz and
-activation-tau predictions, labelled accordingly."""
+"""Table 1: d-study MAEs (Original / NN-f / NN-d) on the REAL cell-5
+protocols, reconstructed from reference artifacts (ionflux.protorec).
+
+Reference table-1.py: data = 3-state Markov GT + sigma=0.1 noise (the stored
+yc-*.pt caches are used verbatim where present so the noise realisation
+matches bit-for-bit); models simulate with g=1, E=-88.4 (table-1.py:32-37);
+the Pr4 column scores sweeps 1-3 only (table-1.py:559-562).
+
+Default rows use OUR retrained d0/d1/d2 models (out/); --oracle additionally
+writes table-1-oracle.txt from the reference's archived checkpoints, which
+must reproduce the stored table-1/table-1.txt numbers.
+"""
 
 import os
 import sys
@@ -10,55 +18,75 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from common import setup, study_parser  # noqa: E402
 
-args = study_parser("Table 1: d-study MAE table.").parse_args()
+parser = study_parser("Table 1: d-study MAE table on real protocols.")
+parser.add_argument("--oracle", action="store_true",
+                    help="also tabulate the reference's archived checkpoints")
+args = parser.parse_args()
 OUT = setup(args, "table-1")
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from ionflux import protocols as P  # noqa: E402
-from ionflux.figures import cached_sim, latex_table, mae_row  # noqa: E402
-from ionflux.models.registry import MARKOV_B06, SYNTHETIC  # noqa: E402
+from ionflux import protorec  # noqa: E402
+from ionflux.figures import (cached_sim, latex_table, load_d_models,  # noqa: E402
+                             load_d_models_reference, mae_row)
+from ionflux.models.registry import MARKOV_B06, TABLE1  # noqa: E402
 from ionflux.observe import add_noise  # noqa: E402
-
-from ionflux.figures import load_d_models  # noqa: E402
 
 REFDIR = "/root/reference"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-models = load_d_models(os.path.join(REPO, "out"))
 
-columns = [
-    ("Pr3", P.activation_family(dt_ms=1.0), np.linspace(0.0, 8000.0, 8001)),
-    ("Pr5", P.deactivation_family(dt_ms=1.0), np.linspace(0.0, 10000.0, 10001)),
-    ("AP2Hz", [P.load_csv(f"{REFDIR}/test-protocols/ap2hz.csv")],
-     np.linspace(0.0, 3000.0, 1501)),
-    ("Act-tau", P.atau_family(dt_ms=1.0), np.linspace(0.0, 5000.0, 5001)),
+BIG = dict(max_steps=1_000_000, buffer_size=65536)
+
+# (column, protocol name, stored noisy-data cache, MAE slice)
+COLUMNS = [
+    ("Pr3", "pr3-cell5", None, slice(None)),
+    ("Pr5", "pr5-cell5", None, slice(None)),
+    ("Pr4", "pr4-cell5", None, "pr4"),
+    ("Sinusoidal", "sinewave-cell5", "yc-sinewave.pt", slice(None)),
+    ("APs", "aps-cell5", "yc-aps.pt", slice(None)),
 ]
 
-rows = {label: [] for label in models}
-for col_name, fam, ts in columns:
-    col_mae = {label: [] for label in models}
-    for k, proto in enumerate(fam):
-        truth = cached_sim(OUT, f"{col_name}-gt-{k}", args.cached, "markov",
-                           MARKOV_B06, proto, ts, SYNTHETIC)
-        data = np.asarray(add_noise(jax.random.PRNGKey(k),
-                                    jnp.asarray(truth)), np.float64)
+
+def data_trace(col, proto_name, yc_name, ts, proto, seed):
+    if yc_name is not None and os.path.isdir(REFDIR):
+        from ionflux.utils.ptload import pt_load
+
+        return np.asarray(pt_load(f"{REFDIR}/table-1/{yc_name}"),
+                          np.float64).reshape(-1)
+    truth = cached_sim(OUT, f"{col}-gt", args.cached, "markov", MARKOV_B06,
+                       proto, ts, TABLE1, **BIG)
+    return np.asarray(add_noise(jax.random.PRNGKey(seed),
+                                jnp.asarray(truth)), np.float64)
+
+
+def build(models, out_name, caption):
+    rows = {label: [] for label in models}
+    for seed, (col, proto_name, yc_name, sl) in enumerate(COLUMNS):
+        v, dt = protorec.load_voltage(proto_name)
+        ts = np.arange(len(v)) * dt
+        proto = protorec.protocol(proto_name)
+        data = data_trace(col, proto_name, yc_name, ts, proto, seed)
+        if sl == "pr4":  # sweeps 1-3 only (table-1.py:559-562)
+            n = len(v) // 16
+            sl = slice(n, 4 * n)
         preds = {
-            label: cached_sim(OUT, f"{col_name}-{label}-{k}", args.cached,
-                              kind, params, proto, ts, SYNTHETIC)
+            label: cached_sim(OUT, f"{col}-{out_name}-{label}", args.cached,
+                              kind, params, proto, ts, TABLE1, **BIG)[sl]
             for label, (kind, params, _s) in models.items()
         }
-        for label, v in mae_row(data, preds).items():
-            col_mae[label].append(v)
-    for label in models:
-        rows[label].append(float(np.mean(col_mae[label])))
+        for label, val in mae_row(data[sl], preds).items():
+            rows[label].append(val)
+            print(f"{col} ({label}) | Total Loss {val:.6f}")
+    latex_table(os.path.join(OUT, out_name), [c[0] for c in COLUMNS], rows,
+                caption=caption)
 
-latex_table(
-    os.path.join(OUT, "table-1.txt"),
-    [c[0] for c in columns],
-    rows,
-    caption="d-study MAE (nA) on nominal protocols; Pr3/Pr5 are training "
-            "protocols, AP2Hz/Act-tau predictions (recorded Pr4/sinusoidal/"
-            "APs files not in mount)",
-)
+
+build(load_d_models(os.path.join(REPO, "out")), "table-1.txt",
+      caption="d-study MAE (nA) on the reconstructed real cell-5 protocols; "
+              "Pr3/Pr5 training, Pr4 (sweeps 1-3)/Sinusoidal/APs prediction")
+if args.oracle:
+    build(load_d_models_reference(REFDIR), "table-1-oracle.txt",
+          caption="reference archived checkpoints through our solver on the "
+                  "reconstructed protocols (parity vs table-1/table-1.txt)")
