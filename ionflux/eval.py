@@ -133,3 +133,42 @@ def simulate_cases(kind: str, params, cases, c: Constants, **kw):
         i = simulate(kind, params, pad_protocol(proto, n_knots), ts_pad, c, **kw)
         out.append(i[:t_len])
     return out
+
+
+def simulate_long(kind: str, params, name: str, c: Constants, y0=None,
+                  rtol=1e-6, atol=1e-8, max_steps: int = 200_000,
+                  buffer_size: int = 16384, dtype=jnp.float32) -> np.ndarray:
+    """Current on a long multi-sweep real protocol (protorec.SWEEPS) via the
+    segment-chained solver: one f32-exact local clock per sweep, state
+    carried across sweeps (solver/chained.py; the reference's grid_points
+    replacement).  A single global f32 time axis stalls at these lengths
+    (ulp(150 s) ~ 0.016 ms); this is the supported path for the real
+    Pr3/Pr4/Pr5 recordings.  Returns the current at every 0.1 ms sample,
+    flattened to the recording's length."""
+    from ionflux import protorec
+    from ionflux.solver.chained import odeint_chained
+
+    n_sweeps, period = protorec.SWEEPS[name]
+    v, dt = protorec.load_voltage(name)
+    assert len(v) == n_sweeps * period
+    # overlap one sample so each segment integrates through the 0.1 ms ramp
+    # into the next sweep's first sample
+    vs = np.empty((n_sweeps, period + 1), v.dtype)
+    vs[:, :period] = v.reshape(n_sweeps, period)
+    vs[:-1, period] = vs[1:, 0]
+    vs[-1, period] = vs[-1, period - 1]
+    protos = P.stack([
+        P.Protocol(jnp.asarray(0.0, dtype), jnp.asarray(dt, dtype),
+                   jnp.asarray(row, dtype)) for row in vs])
+    ts = jnp.arange(period + 1, dtype=dtype) * jnp.asarray(dt, dtype)
+    if y0 is None:
+        y0 = default_y0(kind, dtype)
+
+    ys = odeint_chained(_model_rhs(kind), y0, ts, protos, params,
+                        rtol=rtol, atol=atol, max_steps=max_steps,
+                        buffer_size=buffer_size)       # [B, T+1, S]
+    ys = ys[:, :-1, :].reshape(n_sweeps * period, -1)  # drop overlap sample
+    vq = jnp.asarray(v.reshape(-1), dtype)
+    if kind == "markov":
+        return markov_current(ys, vq, c)
+    return gate_current(ys, vq, c)

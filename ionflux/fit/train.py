@@ -45,26 +45,41 @@ def _make_optimizer(lr: float, step_size: int | None, gamma: float):
 
 
 def surface_loss(net, x: jnp.ndarray, y: jnp.ndarray,
-                 residual: jnp.ndarray | None = None) -> jnp.ndarray:
+                 residual: jnp.ndarray | None = None,
+                 anchors=None) -> jnp.ndarray:
     """Sum-of-squares loss on the derivative surface.
 
     x: [N, 2] = (V/vrange, a); y: [N] target da/dt; residual: [N] added to
     the MLP prediction (the NN-d analytic part, train-s2.py:854-857).
+
+    anchors: optional (x_a, y_a, weight) boundary-anchor regulariser — the
+    training surface leaves a >= 1 (and a <= 0) unconstrained, and nets whose
+    extrapolation there runs away destabilise whole-trace solves for most
+    init seeds (the reference's torch init happened to land on a stable
+    draw).  Anchoring the raw MLP output towards y_a on an out-of-hull grid
+    removes the seed lottery; off by default for reference parity.
     """
     pred = mlp_apply(net, x)[..., 0] / NETSCALE
     if residual is not None:
         pred = pred + residual
-    return jnp.sum((pred - y) ** 2)
+    loss = jnp.sum((pred - y) ** 2)
+    if anchors is not None:
+        x_a, y_a, w = anchors
+        pred_a = mlp_apply(net, x_a)[..., 0] / NETSCALE
+        loss = loss + w * jnp.sum((pred_a - y_a) ** 2)
+    return loss
 
 
 @partial(jax.jit, static_argnames=("iters", "lr", "step_size", "gamma"))
-def _fit_chunk(net, opt_state, x, y, residual, *, iters, lr, step_size, gamma):
+def _fit_chunk(net, opt_state, x, y, residual, anchors, *, iters, lr,
+               step_size, gamma):
     """`iters` Adam steps as one scanned jit, resuming from opt_state."""
     opt = _make_optimizer(lr, step_size, gamma)
 
     def step(carry, _):
         params, state = carry
-        loss, grads = jax.value_and_grad(surface_loss)(params, x, y, residual)
+        loss, grads = jax.value_and_grad(surface_loss)(params, x, y,
+                                                       residual, anchors)
         updates, state = opt.update(grads, state, params)
         params = optax.apply_updates(params, updates)
         return (params, state), loss
@@ -79,13 +94,13 @@ def init_opt_state(net, lr: float = 1e-3, step_size: int | None = 100,
     return _make_optimizer(lr, step_size, gamma).init(net)
 
 
-def fit_chunk(net, opt_state, x, y, residual=None, *, iters: int,
-              lr: float = 1e-3, step_size: int | None = 100,
+def fit_chunk(net, opt_state, x, y, residual=None, anchors=None, *,
+              iters: int, lr: float = 1e-3, step_size: int | None = 100,
               gamma: float = 0.9):
     """Resumable training chunk — the building block for the reference's
     validate-every-400-iters loop (train-r1.py:920-959)."""
-    return _fit_chunk(net, opt_state, x, y, residual, iters=iters, lr=lr,
-                      step_size=step_size, gamma=gamma)
+    return _fit_chunk(net, opt_state, x, y, residual, anchors, iters=iters,
+                      lr=lr, step_size=step_size, gamma=gamma)
 
 
 def fit_surface(
@@ -93,6 +108,7 @@ def fit_surface(
     x: jnp.ndarray,
     y: jnp.ndarray,
     residual: jnp.ndarray | None = None,
+    anchors=None,
     *,
     iters: int = 4000,
     lr: float = 1e-3,
@@ -101,8 +117,9 @@ def fit_surface(
 ) -> TrainResult:
     """Full-batch Adam on the surface regression, as one scanned jit."""
     opt_state = init_opt_state(net, lr, step_size, gamma)
-    net, _, losses = _fit_chunk(net, opt_state, x, y, residual, iters=iters,
-                                lr=lr, step_size=step_size, gamma=gamma)
+    net, _, losses = _fit_chunk(net, opt_state, x, y, residual, anchors,
+                                iters=iters, lr=lr, step_size=step_size,
+                                gamma=gamma)
     return TrainResult(params=net, losses=losses)
 
 
@@ -146,3 +163,27 @@ def pretrain(net, p: HHParams, kind: str = "s", iters: int = 1000,
     else:
         raise ValueError(kind)
     return fit_surface(net, x, y, iters=iters, lr=lr, step_size=None)
+
+
+def boundary_anchors(base: HHParams | None, weight: float = 1.0,
+                     n_v: int = 45, n_a: int = 12):
+    """Out-of-hull anchor grid for the boundary-anchor regulariser.
+
+    The training surface only covers a in (0, 1); anchor the raw MLP output
+    on V in [-140, 80] x a in [-0.5, 0] u [1, 1.5] towards the analytic
+    surface (NN-f: base HH rates; NN-d and r-study residual nets: 0, i.e.
+    the model falls back to its analytic part there).  Mirrors the tiny-init
+    intent of train-s2.py:203 but holds for any init seed.
+    """
+    v = jnp.linspace(-140.0, 80.0, n_v, dtype=jnp.float32)
+    a = jnp.concatenate([
+        jnp.linspace(-0.5, 0.0, n_a // 2, dtype=jnp.float32),
+        jnp.linspace(1.0, 1.5, n_a - n_a // 2, dtype=jnp.float32),
+    ])
+    vv, aa = jnp.meshgrid(v, a, indexing="ij")
+    x = jnp.stack([vv.reshape(-1) / VRANGE, aa.reshape(-1)], axis=-1)
+    if base is None:
+        y = jnp.zeros(x.shape[0], jnp.float32)
+    else:
+        y = a_gate_rhs(base, x[:, 1], x[:, 0] * VRANGE)
+    return x, y, jnp.asarray(weight, jnp.float32)

@@ -326,11 +326,13 @@ def pr3_cell5_voltage() -> np.ndarray:
 # Real Pr5 (deactivation, 9 sweeps), same provenance.  Sweep-local layout:
 #   -120 x 500 | -80 x 2000 | +50 x 20000 | test x 60000 | -120 x 5000 |
 #   -80 until next sweep.  First leak sample 4112 (exact: all 53 mask-gap
-#   brackets intersect to a single sample), period 103224 samples,
-#   total 929012 samples.
+#   brackets intersect to a single sample), period 103224 samples, total
+#   9 full periods (the last retained surface sample is 929011; the final
+#   few -80 hold samples are not observable through the subsample lattice,
+#   so the exact-9-period length is adopted).
 PR5_TEST_V = (-120.0, -110.0, -100.0, -90.0, -80.0, -70.0, -60.0, -50.0,
               -40.0)
-PR5_N = 929012
+PR5_N = 9 * 103224
 PR5_LEAK0 = 4112
 PR5_PERIOD = 103224
 
@@ -363,6 +365,16 @@ def pr4_cell5_voltage() -> np.ndarray:
                  (s + 8500, -90.0), (s + 9100, tv), (s + 10600, -120.0),
                  (s + 15600, -80.0)]
     return _steps(PR4_N, segs)
+
+
+# Sweep structure of the multi-sweep recordings: (n_sweeps, samples/sweep).
+# Pr3 and Pr4 lengths are exact multiples (578060 = 7*82580,
+# 464096 = 16*29006); figure scripts split the same way (figure-2.py:587).
+SWEEPS = {
+    "pr3-cell5": (7, PR3_PERIOD),
+    "pr4-cell5": (16, PR4_PERIOD),
+    "pr5-cell5": (9, PR5_PERIOD),
+}
 
 
 # ---------------------------------------------------------------------------

@@ -244,7 +244,9 @@ def run_real_study(spec: RealStudy, outdir: str, iters: int | None = None,
 
     validator = None
     try:
-        validator = RealValidator(spec)
+        # Pr5-only during training (single-core budget); the reference sums
+        # measured APs + Pr5 MAEs (train-r1.py:947-951)
+        validator = RealValidator(spec, protocols=("pr5",))
     except Exception as exc:  # reference surfaces/assets absent
         print(f"(real validation unavailable: {exc}; "
               "falling back to rollout-health selection)")

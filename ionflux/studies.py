@@ -25,6 +25,7 @@ from ionflux import protocols as P
 from ionflux.data import synth_study_currents
 from ionflux.eval import report_mae, simulate, simulate_cases
 from ionflux.fit import fit_surface, pretrain, surface_loss
+from ionflux.fit.train import boundary_anchors
 from ionflux.models import a_gate_rhs, nnd_init, nnf_init
 from ionflux.models.nn import NNdParams, NNfParams
 from ionflux.models.registry import (
@@ -64,6 +65,7 @@ class SyntheticStudy:
     iters: int = 4000             # main loop length (train-s1.py:902)
     step_size: int = 100          # StepLR period (train-s1.py:901)
     init_seed: int = 0            # PRNG for the MLP init
+    anchor_weight: float = 0.0    # boundary-anchor regulariser (off = parity)
 
 
 S1 = SyntheticStudy("s1", "hh", HH_B06, HH_B06, "nnf", None, 0.1,
@@ -161,7 +163,14 @@ def run_study(spec: SyntheticStudy, outdir: str, iters: int | None = None,
         print("Target Loss", tl)
 
     n_iters = iters if iters is not None else spec.iters
-    res = fit_surface(net, x, y, residual, iters=n_iters,
+    anchors = None
+    if spec.anchor_weight > 0.0:
+        # NN-d nets anchor their residual to 0 (fall back to the analytic
+        # part); NN-f nets anchor to the pretrain/analytic a-gate surface
+        anchors = boundary_anchors(
+            None if spec.model_kind == "nnd" else
+            (spec.pretrain_hh or spec.rgate), weight=spec.anchor_weight)
+    res = fit_surface(net, x, y, residual, anchors, iters=n_iters,
                       lr=1e-3, step_size=spec.step_size, gamma=0.9)
     net = res.params
     print(f"train done | iters {n_iters} | "

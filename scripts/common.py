@@ -34,9 +34,31 @@ def study_parser(desc: str, real: bool = False) -> argparse.ArgumentParser:
     return p
 
 
+def _tpu_alive(timeout_s: float = 90.0) -> bool:
+    """Bounded TPU-backend probe in a subprocess — a dead axon tunnel hangs
+    jax.devices() in-process indefinitely (bench.py:249, VERDICT round 1)."""
+    import subprocess
+
+    code = "import jax; print(jax.devices()[0].platform)"
+    try:
+        res = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False
+    return res.returncode == 0 and "cpu" not in res.stdout
+
+
 def setup(args, default_outdir: str) -> str:
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    elif os.environ.get("IONFLUX_SKIP_TPU_PROBE") != "1":
+        # default platform is the axon TPU tunnel; probe it with a bounded
+        # subprocess and fall back to CPU instead of hanging forever
+        if not _tpu_alive():
+            print("TPU backend unreachable — falling back to CPU "
+                  "(pass --platform to override)")
+            jax.config.update("jax_platforms", "cpu")
     if args.x64:
         jax.config.update("jax_enable_x64", True)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -29,6 +29,7 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from ionflux import protorec  # noqa: E402
+from ionflux.eval import simulate_long  # noqa: E402
 from ionflux.figures import (cached_sim, latex_table, load_d_models,  # noqa: E402
                              load_d_models_reference, mae_row)
 from ionflux.models.registry import MARKOV_B06, TABLE1  # noqa: E402
@@ -38,6 +39,22 @@ REFDIR = "/root/reference"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 BIG = dict(max_steps=1_000_000, buffer_size=65536)
+
+
+def sim(cache_name, kind, params, proto_name, proto, ts):
+    """Simulate with npz cache; multi-sweep recordings go through the
+    segment-chained solver (a single global f32 clock stalls at 58-93 s)."""
+    path = os.path.join(OUT, f"{cache_name}.npz")
+    if args.cached and os.path.exists(path):
+        return np.load(path)["y"]
+    if proto_name in protorec.SWEEPS:
+        y = np.asarray(simulate_long(kind, params, proto_name, TABLE1),
+                       np.float64)
+    else:
+        y = np.asarray(cached_sim(OUT, cache_name, False, kind, params,
+                                  proto, ts, TABLE1, **BIG), np.float64)
+    np.savez(path, y=y)
+    return y
 
 # (column, protocol name, stored noisy-data cache, MAE slice)
 COLUMNS = [
@@ -55,8 +72,7 @@ def data_trace(col, proto_name, yc_name, ts, proto, seed):
 
         return np.asarray(pt_load(f"{REFDIR}/table-1/{yc_name}"),
                           np.float64).reshape(-1)
-    truth = cached_sim(OUT, f"{col}-gt", args.cached, "markov", MARKOV_B06,
-                       proto, ts, TABLE1, **BIG)
+    truth = sim(f"{col}-gt", "markov", MARKOV_B06, proto_name, proto, ts)
     return np.asarray(add_noise(jax.random.PRNGKey(seed),
                                 jnp.asarray(truth)), np.float64)
 
@@ -72,8 +88,8 @@ def build(models, out_name, caption):
             n = len(v) // 16
             sl = slice(n, 4 * n)
         preds = {
-            label: cached_sim(OUT, f"{col}-{out_name}-{label}", args.cached,
-                              kind, params, proto, ts, TABLE1, **BIG)[sl]
+            label: sim(f"{col}-{out_name}-{label}", kind, params, proto_name,
+                       proto, ts)[sl]
             for label, (kind, params, _s) in models.items()
         }
         for label, val in mae_row(data[sl], preds).items():
