@@ -166,3 +166,202 @@ def surface_scatter_3d(path: str, v, a, dadt, net=None, nnd_base=None):
     fig.tight_layout()
     fig.savefig(path, dpi=170)
     plt.close(fig)
+
+
+# ---------------------------------------------------------------------------
+# Reference-grade composition (figure-2.py:556-821, figure-3.py:584-900):
+# voltage/current panels with sweep overlays + zoom panels with PathPatch
+# shading and arrow scale-bars.
+# ---------------------------------------------------------------------------
+
+#: Set2 palette facecolors for zoom shading (figure-2.py:546-549), computed
+#: without a seaborn import (sns.color_palette("Set2") values).
+SET2 = [(0.4, 0.7607843137254902, 0.6470588235294118),
+        (0.9882352941176471, 0.5529411764705883, 0.3843137254901961),
+        (0.5529411764705883, 0.6274509803921569, 0.796078431372549),
+        (0.9058823529411765, 0.5411764705882353, 0.7647058823529411),
+        (0.6509803921568628, 0.8470588235294118, 0.32941176470588235),
+        (1.0, 0.8509803921568627, 0.1843137254901961)]
+
+MODEL_STYLES = {  # label -> (fmt, color); figure-2.py:593-596
+    "Original": ("--", "C0"),
+    "NN-f": ("--", "C1"),
+    "NN-d": ("-.", "C2"),
+}
+MODEL_LEGEND = {
+    "Original": "Original",
+    "NN-f": r"$a$-gate as NN (NN-f)",
+    "NN-d": "NN as discrepancy term (NN-d)",
+}
+
+
+def _sns_theme(plt):
+    try:
+        import seaborn as sns
+
+        sns.set_theme()
+    except Exception:
+        plt.style.use("seaborn-v0_8-darkgrid")
+
+
+def plot_sweep_panels(axv, axc, t, v, data, preds, ds=20):
+    """Voltage + current panels with all sweeps overlaid
+    (figure-2.py:587-599).  v/data/preds rows: [n_sweeps, T]."""
+    for i in range(v.shape[0]):
+        axv.plot(t, v[i], c="#7f7f7f", ds="steps")
+        axc.plot(t[::ds], data[i][::ds], c="#7f7f7f",
+                 label="__nolegend__" if i else "Data")
+        for label, y in preds.items():
+            fmt, color = MODEL_STYLES.get(label, ("--", "C3"))
+            axc.plot(t[::ds], y[i][::ds], fmt, c=color, lw=1.0,
+                     label="__nolegend__" if i else MODEL_LEGEND.get(label,
+                                                                     label))
+    axv.set_xlim([t[0], t[-1]])
+    axc.set_xlim([t[0], t[-1]])
+    axv.set_xticklabels([])
+
+
+def zoom_panel(axz, axc, t, v_data, preds, window, ylim, facecolor, ds=1):
+    """One zoom panel + shading patch on the parent current panel
+    (figure-2.py:602-694): no ticks, arrow scale-bars labelled with the
+    window duration and current range."""
+    import matplotlib.pyplot as plt  # noqa: F401
+    from matplotlib.path import Path as MplPath
+    from matplotlib.patches import PathPatch
+
+    t0, t1 = window
+    y0, y1 = ylim
+    i0, i1 = int(np.searchsorted(t, t0)), int(np.searchsorted(t, t1))
+    tt = t[i0:i1:ds]
+    for i in range(v_data.shape[0]):
+        axz.plot(tt, v_data[i][i0:i1:ds], c="#7f7f7f")
+        for label, y in preds.items():
+            fmt, color = MODEL_STYLES.get(label, ("--", "C3"))
+            axz.plot(tt, y[i][i0:i1:ds], fmt, c=color, lw=1.0)
+    axz.set_xlim([tt[0], tt[-1]])
+    axz.set_ylim([y0, y1])
+    axz.set_xticks([])
+    axz.set_yticks([])
+    axz.set_xticklabels([])
+    axz.set_yticklabels([])
+
+    codes = [MplPath.MOVETO] + [MplPath.LINETO] * 3 + [MplPath.CLOSEPOLY]
+    verts = np.array([(tt[0], y0), (tt[0], y1), (tt[-1], y1), (tt[-1], y0),
+                      (0, 0)], float)
+    axc.add_patch(PathPatch(MplPath(verts, codes), facecolor=facecolor,
+                            edgecolor=facecolor, alpha=0.25))
+    axz.add_patch(PathPatch(MplPath(verts, codes), facecolor=facecolor,
+                            edgecolor=None, alpha=0.25))
+    for (x, y, dx, dy) in [(1, -0.05, -1, 0), (0, -0.05, 1, 0)]:
+        axz.arrow(x, y, dx, dy, length_includes_head=True, head_width=0.03,
+                  head_length=0.05, clip_on=False, fc="k", ec="k",
+                  transform=axz.transAxes)
+    axz.text(0.5, -0.15, "%s ms" % np.around(t1 - t0, decimals=0),
+             transform=axz.transAxes, ha="center", va="center")
+    for (x, y, dx, dy) in [(-0.05, 1, 0, -1), (-0.05, 0, 0, 1)]:
+        axz.arrow(x, y, dx, dy, length_includes_head=True, head_width=0.03,
+                  head_length=0.05, clip_on=False, fc="k", ec="k",
+                  transform=axz.transAxes)
+    axz.text(-0.15, 0.5, "%s nA" % np.around(y1 - y0, decimals=0),
+             rotation=90, transform=axz.transAxes, ha="center", va="center")
+
+
+def fit_composition_cols(path, columns, ds=20, figsize=(11, 5)):
+    """The figure-2 layout: N protocol columns, each voltage panel over
+    current panel, plus a bottom zoom row (figure-2.py:556-585).
+
+    columns: list of dicts with keys t [T], v/data [n_sweeps, T],
+    preds {label: [n_sweeps, T]}, zooms [(t0, t1, y0, y1, facecolor)].
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    _sns_theme(plt)
+    n = len(columns)
+    fig = plt.figure(figsize=figsize)
+    grid = plt.GridSpec(4 + 1 + 12 + 5 + 9, 2 * n, hspace=0.0, wspace=0.0)
+    for i, col in enumerate(columns):
+        c0, c1 = 2 * i, 2 * (i + 1)
+        axv = fig.add_subplot(grid[:4, c0:c1])
+        axc = fig.add_subplot(grid[5:17, c0:c1])
+        plot_sweep_panels(axv, axc, col["t"], col["v"], col["data"],
+                          col["preds"], ds)
+        axc.set_xlabel("Time (ms)", fontsize=12)
+        if i == 0:
+            axv.set_ylabel("Voltage\n(mV)", fontsize=12)
+            axc.set_ylabel("Current\n(nA)", fontsize=12)
+            axc.legend(loc="lower left", bbox_to_anchor=(-0.02, 1.55),
+                       ncol=4, columnspacing=1.2, handletextpad=0.4,
+                       bbox_transform=axc.transAxes)
+        for iz, (t0, t1, y0, y1, fc) in enumerate(col["zooms"]):
+            axz = fig.add_subplot(grid[-9:, c0 + iz])
+            if i == 0 and iz == 0:
+                axz.set_ylabel("Zoom in", fontsize=12)
+            zoom_panel(axz, axc, col["t"], col["data"], col["preds"],
+                       (t0, t1), (y0, y1), fc)
+    fig.savefig(path, pad_inches=0.3, dpi=200, bbox_inches="tight")
+    plt.close(fig)
+    print(f"wrote {path}")
+
+
+def fit_composition_rows(path, top_columns, rows, ds=20, figsize=(11, 13.5)):
+    """The figure-3 layout: a top row of sweep columns plus stacked
+    full-width single-trace rows, each with its own zoom row
+    (figure-3.py:584-900)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    _sns_theme(plt)
+    a1, a2, az = 4, 12, 9
+    block = a1 + 1 + a2 + 2           # V + gap + I
+    zblock = az + 4                   # zoom row + gap
+    n_top = len(top_columns)
+    total_rows = block + (block + zblock) * len(rows) + 4
+    ncols = 12  # fine column grid so 1-3 zooms/row divide evenly
+    fig = plt.figure(figsize=figsize)
+    grid = plt.GridSpec(total_rows, ncols, hspace=0.0, wspace=0.0)
+
+    r = 0
+    for i, col in enumerate(top_columns):
+        w = ncols // n_top
+        c0, c1 = w * i, w * (i + 1) - (1 if n_top > 1 and i < n_top - 1
+                                       else 0)
+        axv = fig.add_subplot(grid[r:r + a1, c0:c1])
+        axc = fig.add_subplot(grid[r + a1 + 1:r + a1 + 1 + a2, c0:c1])
+        plot_sweep_panels(axv, axc, col["t"], col["v"], col["data"],
+                          col["preds"], ds)
+        if i == 0:
+            axv.set_ylabel("Voltage\n(mV)", fontsize=12)
+            axc.set_ylabel("Current\n(nA)", fontsize=12)
+            axc.legend(loc="lower left", bbox_to_anchor=(-0.02, 1.55),
+                       ncol=4, columnspacing=1.2, handletextpad=0.4,
+                       bbox_transform=axc.transAxes)
+        axc.set_xlabel("Time (ms)", fontsize=12)
+        for iz, (t0, t1, y0, y1, fc) in enumerate(col["zooms"]):
+            pass  # top columns carry no zoom row in figure-3
+    r += block + 2
+    for row in rows:
+        axv = fig.add_subplot(grid[r:r + a1, :])
+        axc = fig.add_subplot(grid[r + a1 + 1:r + a1 + 1 + a2, :])
+        plot_sweep_panels(axv, axc, row["t"], row["v"], row["data"],
+                          row["preds"], ds)
+        axv.set_ylabel("Voltage\n(mV)", fontsize=12)
+        axc.set_ylabel("Current\n(nA)", fontsize=12)
+        axc.set_xlabel("Time (ms)", fontsize=12)
+        r += block + 2
+        n_z = len(row["zooms"])
+        for iz, (t0, t1, y0, y1, fc) in enumerate(row["zooms"]):
+            w = ncols // max(n_z, 1)
+            axz = fig.add_subplot(grid[r:r + az, w * iz:w * (iz + 1) - 1])
+            if iz == 0:
+                axz.set_ylabel("Zoom in", fontsize=12)
+            zoom_panel(axz, axc, row["t"], row["data"], row["preds"],
+                       (t0, t1), (y0, y1), fc, ds=1)
+        r += zblock - 2
+    fig.savefig(path, pad_inches=0.3, dpi=200, bbox_inches="tight")
+    plt.close(fig)
+    print(f"wrote {path}")
