@@ -135,16 +135,15 @@ def simulate_cases(kind: str, params, cases, c: Constants, **kw):
     return out
 
 
-def simulate_long(kind: str, params, name: str, c: Constants, y0=None,
-                  rtol=1e-6, atol=1e-8, max_steps: int = 200_000,
-                  buffer_size: int = 16384, dtype=jnp.float32) -> np.ndarray:
-    """Current on a long multi-sweep real protocol (protorec.SWEEPS) via the
+def solve_states_long(kind: str, params, name: str, y0=None,
+                      rtol=1e-6, atol=1e-8, max_steps: int = 200_000,
+                      buffer_size: int = 16384, dtype=jnp.float32):
+    """States on a long multi-sweep real protocol (protorec.SWEEPS) via the
     segment-chained solver: one f32-exact local clock per sweep, state
     carried across sweeps (solver/chained.py; the reference's grid_points
     replacement).  A single global f32 time axis stalls at these lengths
     (ulp(150 s) ~ 0.016 ms); this is the supported path for the real
-    Pr3/Pr4/Pr5 recordings.  Returns the current at every 0.1 ms sample,
-    flattened to the recording's length."""
+    Pr3/Pr4/Pr5 recordings.  Returns ys [N, S] at every 0.1 ms sample."""
     from ionflux import protorec
     from ionflux.solver.chained import odeint_chained
 
@@ -167,8 +166,35 @@ def simulate_long(kind: str, params, name: str, c: Constants, y0=None,
     ys = odeint_chained(_model_rhs(kind), y0, ts, protos, params,
                         rtol=rtol, atol=atol, max_steps=max_steps,
                         buffer_size=buffer_size)       # [B, T+1, S]
-    ys = ys[:, :-1, :].reshape(n_sweeps * period, -1)  # drop overlap sample
+    return ys[:, :-1, :].reshape(n_sweeps * period, -1)  # drop overlap
+
+
+def simulate_long(kind: str, params, name: str, c: Constants, y0=None,
+                  dtype=jnp.float32, **kw) -> np.ndarray:
+    """Current on a long multi-sweep real protocol (see solve_states_long),
+    flattened to the recording's length."""
+    from ionflux import protorec
+
+    ys = solve_states_long(kind, params, name, y0, dtype=dtype, **kw)
+    v, _dt = protorec.load_voltage(name)
     vq = jnp.asarray(v.reshape(-1), dtype)
     if kind == "markov":
         return markov_current(ys, vq, c)
     return gate_current(ys, vq, c)
+
+
+def solve_states_real(kind: str, params, name: str, y0=None,
+                      dtype=jnp.float32, **kw):
+    """States on any reconstructed real protocol: multi-sweep recordings go
+    through the segment-chained solver, single-segment ones (sinewave, APs)
+    through the plain adaptive solver on their full 0.1 ms grid."""
+    from ionflux import protorec
+
+    if name in protorec.SWEEPS:
+        return solve_states_long(kind, params, name, y0, dtype=dtype, **kw)
+    v, dt = protorec.load_voltage(name)
+    proto = protorec.protocol(name, dtype=dtype)
+    ts = jnp.asarray(np.arange(len(v)) * dt, dtype)
+    kw.setdefault("max_steps", 400_000)
+    kw.setdefault("buffer_size", 32768)
+    return solve_states(kind, params, proto, ts, y0=y0, **kw)

@@ -365,3 +365,82 @@ def fit_composition_rows(path, top_columns, rows, ds=20, figsize=(11, 13.5)):
     fig.savefig(path, pad_inches=0.3, dpi=200, bbox_inches="tight")
     plt.close(fig)
     print(f"wrote {path}")
+
+
+def phase_portrait_figure(path, cases, cache_dir, cached=False, ds=10,
+                          view=(30, -125), v_hi=60.0):
+    """The figure-1 family: two 3-D (V, a, da/dt) panels — (A) the d0-fitted
+    candidate's trajectories on its own surface, (B) the ground truth's
+    (a, da/dt) leaving it (figure-1.py:210-320; -s1/-s2 variants swap the
+    protocols).  cases: [(protocol_name, color, label)]."""
+    import jax.numpy as jnp_
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ionflux import protorec
+    from ionflux.eval import solve_states_real
+    from ionflux.models.hh import a_gate_rhs
+    from ionflux.models.registry import HH_D0_FIT, MARKOV_B06
+
+    def trajectories(kind, name, y0):
+        cache = os.path.join(cache_dir, f"{name}-{kind}.npz")
+        if cached and os.path.exists(cache):
+            d = np.load(cache)
+            return d["a"], d["z"]
+        ys = np.asarray(solve_states_real(
+            kind, HH_D0_FIT if kind == "hh" else MARKOV_B06, name,
+            y0=jnp_.asarray(y0, jnp_.float32)))
+        a = ys[:, 0]
+        if kind == "hh":
+            z = np.asarray(a_gate_rhs(HH_D0_FIT, ys[:, 0],
+                                      protorec.load_voltage(name)[0]))
+        else:  # gta carries u = da/dt as its second state
+            z = ys[:, 1]
+        np.savez(cache, a=a, z=z)
+        return a, z
+
+    def plot_segments(ax, v, a, z, color, label):
+        bounds = np.flatnonzero(np.diff(v) != 0) + 1
+        # continuous waveforms (sinewave window, APs) have a boundary at
+        # every sample; segment only at genuine steps (plateaus >= 5 ms)
+        if len(bounds) > 200:
+            keep = np.diff(np.concatenate([[0], bounds])) > 50
+            bounds = bounds[keep]
+        bounds = np.concatenate([bounds, [len(v)]])
+        i = 0
+        for f in bounds:
+            sl = slice(i, f, ds)
+            ax.plot(v[sl], a[sl], z[sl], alpha=0.8, color=color,
+                    label="__nolegend__" if i else label)
+            ax.scatter(v[i], a[i], z[i], alpha=0.8, color=color, marker=".")
+            ax.scatter(v[f - 1], a[f - 1], z[f - 1], alpha=0.8, color=color,
+                       marker=".")
+            i = f
+
+    fig = plt.figure(figsize=(8.5, 3.75))
+    axes = [fig.add_subplot(1, 2, k + 1, projection="3d") for k in range(2)]
+    vv, aa = np.meshgrid(np.linspace(-120.0, v_hi, 50),
+                         np.linspace(0.0, 1.0, 50), indexing="ij")
+    surf = np.asarray(a_gate_rhs(HH_D0_FIT, jnp_.asarray(aa),
+                                 jnp_.asarray(vv)))
+    for ax, kind, y0 in [(axes[0], "hh", [0.0, 1.0]),
+                         (axes[1], "gta", [0.0, 0.0])]:
+        for name, color, label in cases:
+            v, _ = protorec.load_voltage(name)
+            a, z = trajectories(kind, name, y0)
+            plot_segments(ax, v, a, z, color, label)
+        ax.plot_surface(vv, aa, surf, color="C0", alpha=0.5)
+        ax.view_init(*view)
+        ax.set_xlabel(r"$V$ (mV)")
+        ax.set_ylabel(r"$a$")
+        ax.zaxis.set_rotate_label(False)
+        ax.set_zlabel(r"$\frac{da}{dt}$", rotation=0, fontsize=13)
+    axes[1].legend(ncol=2)
+    for k, ax in enumerate(axes):
+        ax.text2D(-0.05, 0.925, f"({chr(65 + k)})", size=12, weight="bold",
+                  va="bottom", ha="right", transform=ax.transAxes)
+    fig.savefig(path, pad_inches=0.02, dpi=200, bbox_inches="tight")
+    plt.close(fig)
+    print(f"wrote {path}")

@@ -199,18 +199,18 @@ class RealValidator:
         self.cases = []
         for name in protocols:
             tl, i_meas = meas[name]
-            proto = protorec.protocol(f"{name}-cell5", dtype=jnp.float32)
-            ts = jnp.concatenate([jnp.zeros((1,), jnp.float32),
-                                  jnp.asarray(tl, jnp.float32)])
-            self.cases.append((name, proto, ts,
+            idx = jnp.asarray(np.round(tl / protorec.DT_MS).astype(np.int64))
+            self.cases.append((f"{name}-cell5", idx,
                                jnp.asarray(i_meas, jnp.float32)))
 
     def __call__(self, params) -> dict[str, float]:
+        from ionflux.eval import simulate_long
+
         out = {}
-        for name, proto, ts, i_meas in self.cases:
-            i = simulate(self.spec.model_kind, params, proto, ts,
-                         self.spec.constants, max_steps=400_000,
-                         buffer_size=32768)[1:]
+        for name, idx, i_meas in self.cases:
+            # segment-chained whole-trace rollout (f32-exact local clocks)
+            i = simulate_long(self.spec.model_kind, params, name,
+                              self.spec.constants)[idx]
             mae = float(jnp.mean(jnp.abs(i - i_meas)))
             out[name] = mae if np.isfinite(mae) else float("inf")
         return out

@@ -1,10 +1,12 @@
 #!/usr/bin/env python
-"""Figure 1: phase portrait — GroundTruth_a trajectories (a, da/dt) under
-Pr3/Pr5 sweeps over the candidate HH da/dt(V, a) surface.
+"""Figure 1: 3-D (V, a, da/dt) phase portraits (paper Fig. 2) on the real
+Pr3/Pr5 recordings.  Panel A: the d0-fitted candidate's trajectories lie ON
+its own da/dt surface; panel B: the 3-state ground truth's (a, da/dt)
+trajectories leave it — the model-discrepancy picture motivating the NN
+studies.  Reference figure-1.py:72-320.
 
-Reference figure-1.py (GroundTruth_a at :72-118); nominal protocols replace
-the recorded cell-5 voltage files.
-"""
+--s1 / --s2 render the supplementary variants (figure-1-s1.py: Pr3+Pr4;
+figure-1-s2.py: sinewave+APs), which need the reconstructed protocols."""
 
 import os
 import sys
@@ -12,45 +14,29 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from common import setup, study_parser  # noqa: E402
 
-args = study_parser("Figure 1: phase portraits.").parse_args()
-OUT = setup(args, "figure-1")
+parser = study_parser("Figure 1: phase portraits.")
+parser.add_argument("--s1", action="store_true", help="figure-1-s1 variant")
+parser.add_argument("--s2", action="store_true", help="figure-1-s2 variant")
+args = parser.parse_args()
 
-import jax.numpy as jnp  # noqa: E402
-import numpy as np  # noqa: E402
-import matplotlib  # noqa: E402
+PR3_COLOR, PR5_COLOR = "#fdbb84", "#bcbddc"  # figure-1.py:232, 247
 
-matplotlib.use("Agg")
-import matplotlib.pyplot as plt  # noqa: E402
+view, v_hi = (30, -125), 60.0
+if args.s1:
+    out_name, fig_name = "figure-1-s1", "fig1-s1.png"
+    cases = [("pr3-cell5", PR3_COLOR, "Pr3"), ("pr4-cell5", PR5_COLOR, "Pr4")]
+elif args.s2:
+    out_name, fig_name = "figure-1-s2", "fig1-s2.png"
+    cases = [("sinewave-cell5", PR3_COLOR, "Sinusoidal"),
+             ("aps-cell5", PR5_COLOR, "APs")]
+    view, v_hi = (20, -95), 75.0  # figure-1-s2.py:215, 261
+else:
+    out_name, fig_name = "figure-1", "fig1.png"
+    cases = [("pr3-cell5", PR3_COLOR, "Pr3"), ("pr5-cell5", PR5_COLOR, "Pr5")]
 
-from ionflux import protocols as P  # noqa: E402
-from ionflux.eval import solve_states  # noqa: E402
-from ionflux.models.hh import a_gate_rhs  # noqa: E402
-from ionflux.models.registry import HH_D0_FIT, MARKOV_B06  # noqa: E402
+OUT = setup(args, out_name)
 
-fig = plt.figure(figsize=(10, 5))
-for col, (fam, ts_end, n) in enumerate([
-    (P.activation_family(dt_ms=1.0), 8000.0, 1601),
-    (P.deactivation_family(dt_ms=1.0), 10000.0, 2001),
-]):
-    ax = fig.add_subplot(1, 2, col + 1, projection="3d")
-    ts = jnp.linspace(0.0, ts_end, n, dtype=jnp.float32)
-    for proto in fam:
-        ys = solve_states("gta", MARKOV_B06, proto, ts,
-                          y0=jnp.array([0.0, 0.0], jnp.float32))
-        v = np.asarray(P.voltage(proto, ts))
-        a = np.asarray(ys[:, 0])
-        u = np.asarray(ys[:, 1])
-        ax.plot(v, a, u, lw=0.8)
-    # candidate HH surface (figure-1 overlays the fitted Mo rate law)
-    vv, aa = np.meshgrid(np.linspace(-130, 70, 40), np.linspace(0, 1, 40))
-    zz = np.asarray(a_gate_rhs(HH_D0_FIT, jnp.asarray(aa, jnp.float32),
-                               jnp.asarray(vv, jnp.float32)))
-    ax.plot_surface(vv, aa, zz, color="C1", alpha=0.3)
-    ax.set_xlabel("V (mV)")
-    ax.set_ylabel("a")
-    ax.set_zlabel("da/dt")
-    ax.set_title(["Pr3 activation", "Pr5 deactivation"][col]
-                 + " (nominal protocols)", fontsize=9)
-fig.tight_layout()
-fig.savefig(os.path.join(OUT, "fig1.png"), dpi=200)
-print(f"wrote {OUT}/fig1.png")
+from ionflux.figures import phase_portrait_figure  # noqa: E402
+
+phase_portrait_figure(os.path.join(OUT, fig_name), cases, OUT,
+                      cached=args.cached, view=view, v_hi=v_hi)
