@@ -14,6 +14,7 @@ Two derivative-estimation variants, as in the reference:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax.numpy as jnp
@@ -141,9 +142,10 @@ def real_surface_smoothi(t, i, v, rgate: HHParams, c: Constants,
 # ---------------------------------------------------------------------------
 
 def recover_measurements(surface_dir: str, c: Constants, rgate: HHParams,
+                         protocols=("pr3", "pr5"), n_points: int = 70,
                          dtype=None):
-    """Recover the (smoothed) measured Pr3/Pr5 currents from a cached
-    r-study training surface.
+    """Recover the (smoothed) measured currents from a cached r-study
+    training surface.
 
     The surface stores a = I_smoothed / (g r (V - E)) at the retained sample
     times (train-r1.py:748-793), so with the known r-gate simulated on the
@@ -153,8 +155,13 @@ def recover_measurements(surface_dir: str, c: Constants, rgate: HHParams,
     makes reference-faithful validation MAEs (train-r1.py:928-959) possible
     without the missing CSVs.
 
-    Returns {"pr3": (t_local, i), "pr5": (t_local, i)} with t in protocol-
-    local ms.
+    protocols/n_points select the study's concatenation: r1/r2 cached
+    Pr3+Pr5 with a 7 ms mask; r1-bad cached Pr3+Pr4 with 3 ms
+    (train-r1-bad.py:76-96) and stores no t.pt — the retained sample times
+    are rederived from the reconstructed protocols' own masks (verified
+    bit-exact against r1-bad/v.pt).
+
+    Returns {name: (t_local_ms, i)} per protocol.
     """
     import jax
 
@@ -163,15 +170,31 @@ def recover_measurements(surface_dir: str, c: Constants, rgate: HHParams,
 
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    t = np.asarray(pt_load(f"{surface_dir}/t.pt"))
     v = np.asarray(pt_load(f"{surface_dir}/v.pt"))
     a = np.asarray(pt_load(f"{surface_dir}/a.pt"))
-    n1 = protorec.PR3_N
-    in3 = np.round(t / protorec.DT_MS).astype(np.int64) < n1
+    if os.path.exists(f"{surface_dir}/t.pt"):
+        t = np.asarray(pt_load(f"{surface_dir}/t.pt"))
+        n1 = protorec.PR3_N
+        in3 = np.round(t / protorec.DT_MS).astype(np.int64) < n1
+        sel_t = {protocols[0]: t[in3],
+                 protocols[1]: t[~in3] - (n1 - 1) * protorec.DT_MS}
+        sel_m = {protocols[0]: in3, protocols[1]: ~in3}
+    else:
+        # rebuild the retained-sample lattice from the protocol masks
+        sel_t, sel_m, pos = {}, {}, 0
+        for name in protocols:
+            vfull, dt = protorec.load_voltage(f"{name}-cell5")
+            m = P.training_mask(vfull, n_points=n_points)
+            idx = np.where(m)[0][10::7]
+            np.testing.assert_array_equal(vfull[idx], v[pos:pos + len(idx)])
+            sel_t[name] = idx * dt
+            sel = np.zeros(len(v), bool)
+            sel[pos:pos + len(idx)] = True
+            sel_m[name] = sel
+            pos += len(idx)
     out = {}
-    for name, sel, offs in (("pr3", in3, 0.0),
-                            ("pr5", ~in3, (n1 - 1) * protorec.DT_MS)):
-        tl = t[sel] - offs
+    for name in protocols:
+        tl, sel = sel_t[name], sel_m[name]
         proto = protorec.protocol(f"{name}-cell5", dtype=dtype)
         ts = jnp.concatenate([jnp.zeros((1,), dtype),
                               jnp.asarray(tl, dtype)])

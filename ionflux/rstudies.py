@@ -200,8 +200,7 @@ class RealValidator:
         for name in protocols:
             tl, i_meas = meas[name]
             idx = jnp.asarray(np.round(tl / protorec.DT_MS).astype(np.int64))
-            self.cases.append((f"{name}-cell5", idx,
-                               jnp.asarray(i_meas, jnp.float32)))
+            self.cases.append((name, idx, jnp.asarray(i_meas, jnp.float32)))
 
     def __call__(self, params) -> dict[str, float]:
         from ionflux.eval import simulate_long
@@ -209,7 +208,7 @@ class RealValidator:
         out = {}
         for name, idx, i_meas in self.cases:
             # segment-chained whole-trace rollout (f32-exact local clocks)
-            i = simulate_long(self.spec.model_kind, params, name,
+            i = simulate_long(self.spec.model_kind, params, f"{name}-cell5",
                               self.spec.constants)[idx]
             mae = float(jnp.mean(jnp.abs(i - i_meas)))
             out[name] = mae if np.isfinite(mae) else float("inf")

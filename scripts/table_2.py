@@ -1,11 +1,20 @@
 #!/usr/bin/env python
 """Table 2: real cell-5 study MAEs (reference table-2.py).
 
-The MAE columns compare model predictions against MEASURED currents, which
-are not redistributed with the reference (see scripts/fetch_data.py).  When
-the CSVs are present under data/, this script computes the full table; until
-then it reports the model-vs-reference-checkpoint agreement achievable from
-the mount (our retrained r1/r2 vs the reference's archived weights)."""
+The raw measured currents are not redistributed with the reference, but the
+smoothed measurements at the capacitance-masked samples are recoverable from
+its cached training surfaces (realdata.recover_measurements): Pr3/Pr5 from
+the r1 surface, Pr4 from the r1-bad surface.  Those columns therefore score
+against the reference's own smoothed recordings at ~90% of samples (the cap-
+transient spikes the reference's full-resolution MAEs include are absent, so
+values sit slightly below table-2/table-2.txt).  Sinusoidal/APs measured
+currents are unrecoverable; those columns report agreement with the
+reference's archived checkpoints on the reconstructed protocols, marked (+).
+
+Default rows: our retrained best checkpoints (out/r1, out/r2).
+--oracle: the reference's archived checkpoints (r1/best-model-checkpoint-2,
+r2/model-state-dict-2; table-2.py:313-319) for direct parity.
+"""
 
 import os
 import sys
@@ -13,78 +22,117 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from common import setup, study_parser  # noqa: E402
 
-args = study_parser("Table 2: real-data MAE table.").parse_args()
+parser = study_parser("Table 2: real-data MAE table.")
+parser.add_argument("--oracle", action="store_true")
+args = parser.parse_args()
 OUT = setup(args, "table-2")
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from ionflux import protocols as P  # noqa: E402
-from ionflux.figures import cached_sim, latex_table  # noqa: E402
+from ionflux import protorec  # noqa: E402
+from ionflux.eval import simulate_long, solve_states_real  # noqa: E402
+from ionflux.figures import latex_table  # noqa: E402
 from ionflux.models.nn import NNdParams, NNfParams  # noqa: E402
 from ionflux.models.registry import (  # noqa: E402
     CELL5_R1,
+    CELL5_R1BAD,
     CELL5_R2,
+    CELL5_RAW,
     HH_CELL5_FIT,
     HH_CELL5_INIT,
+    HH_R1BAD_INIT,
 )
-from ionflux.observe import mae  # noqa: E402
+from ionflux.observe import gate_current  # noqa: E402
+from ionflux.realdata import recover_measurements  # noqa: E402
 from ionflux.rstudies import R1, R2, init_params  # noqa: E402
 from ionflux.utils.ckpt import load_pytree  # noqa: E402
 from ionflux.utils.ptload import load_mlp_state_dict, pt_load  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFDIR = "/root/reference"
-DATA = os.path.join(REPO, "data")
 
-if os.path.exists(os.path.join(DATA, "pr3-steady-activation-cell-5.csv")):
-    print("real data present — full measured-current table not yet wired; "
-          "see rstudies.py for the data-present training path")
-    sys.exit(0)
 
-print("measured cell-5 currents not in mount; reporting model-vs-reference-"
-      "checkpoint whole-trace agreement on nominal protocols\n")
+def reference_models():
+    ck = pt_load(f"{REFDIR}/r1/best-model-checkpoint-2.pt")
+    sd = ck["state_dict"]
+    idxs = sorted({int(k.split(".")[1]) for k in sd if k.startswith("net.")})
+    r1 = NNfParams(
+        net=[(jnp.asarray(np.ascontiguousarray(sd[f"net.{i}.weight"].T)),
+              jnp.asarray(sd[f"net.{i}.bias"])) for i in idxs],
+        rgate=HH_CELL5_INIT)
+    r2 = NNdParams(
+        net=[(jnp.asarray(w), jnp.asarray(b)) for w, b in
+             load_mlp_state_dict(f"{REFDIR}/r2/model-state-dict-2.pt")],
+        hh=HH_CELL5_FIT)
+    return r1, r2
 
-ckpt = pt_load(f"{REFDIR}/r1/best-model-checkpoint-2.pt")
-sd = ckpt["state_dict"]
-idxs = sorted({int(k.split(".")[1]) for k in sd if k.startswith("net.")})
-r1_ref = NNfParams(
-    net=[(jnp.asarray(np.ascontiguousarray(sd[f"net.{i}.weight"].T)),
-          jnp.asarray(sd[f"net.{i}.bias"])) for i in idxs],
-    rgate=HH_CELL5_INIT)
-r2_ref = NNdParams(
-    net=[(jnp.asarray(w), jnp.asarray(b)) for w, b in
-         load_mlp_state_dict(f"{REFDIR}/r2/model-state-dict-2.pt")],
-    hh=HH_CELL5_FIT)
 
-rows = {}
-for spec, label, ref_params, c in [(R1, "NN-f (r1)", r1_ref, CELL5_R1),
-                                   (R2, "NN-d (r2)", r2_ref, CELL5_R2)]:
-    path = os.path.join(REPO, "out", spec.name, "model.npz")
-    if not os.path.exists(path):
-        print(f"{label}: out/{spec.name}/model.npz missing")
-        continue
-    ours = load_pytree(path, init_params(spec))
+def our_models():
+    out = []
+    for spec in (R1, R2):
+        path = os.path.join(REPO, "out", spec.name, "best-model.npz")
+        if not os.path.exists(path):
+            path = os.path.join(REPO, "out", spec.name, "model.npz")
+        out.append(load_pytree(path, init_params(spec)))
+    return tuple(out)
+
+
+# measured currents (smoothed, masked samples)
+meas35 = recover_measurements(f"{REFDIR}/r1", CELL5_R1, HH_CELL5_INIT)
+meas4 = recover_measurements(f"{REFDIR}/r1-bad", CELL5_R1BAD, HH_R1BAD_INIT,
+                             protocols=("pr3", "pr4"), n_points=30)
+MEAS = {"pr3": meas35["pr3"], "pr5": meas35["pr5"], "pr4": meas4["pr4"]}
+
+r1_params, r2_params = reference_models() if args.oracle else our_models()
+r1_ref, r2_ref = reference_models()
+
+# rows: (label, kind, params, constants); table-2.py:32-37: Mo uses (g, E),
+# NN-f (1.2g, E-5), NN-d (1.2g, E)
+ROWS = [
+    ("Original", "hh", HH_CELL5_FIT, CELL5_RAW, None),
+    ("NN-f", "nnf", r1_params, CELL5_R1, ("nnf", r1_ref)),
+    ("NN-d", "nnd", r2_params, CELL5_R2, ("nnd", r2_ref)),
+]
+
+COLS = ["Pr3", "Pr5", "Pr4", "Sinusoidal (+)", "APs (+)"]
+rows_out = {}
+for label, kind, params, c, ref in ROWS:
     vals = []
-    for name, fam, ts_end, n in [
-        ("Pr3", P.activation_family(dt_ms=1.0), 8000.0, 8001),
-        ("Pr5", P.deactivation_family(dt_ms=1.0), 10000.0, 10001),
-    ]:
-        diffs = []
-        for k, proto in enumerate(fam):
-            ts = np.linspace(0.0, ts_end, n)
-            y_ref = cached_sim(OUT, f"{spec.name}-{name}-ref-{k}",
-                               args.cached, spec.model_kind, ref_params,
-                               proto, ts, c)
-            y_our = cached_sim(OUT, f"{spec.name}-{name}-our-{k}",
-                               args.cached, spec.model_kind, ours, proto,
-                               ts, c)
-            diffs.append(float(mae(jnp.asarray(y_our), jnp.asarray(y_ref))))
-        vals.append(float(np.mean(diffs)))
-    rows[label] = vals
+    # measured columns
+    for name in ("pr3", "pr5", "pr4"):
+        tl, i_meas = MEAS[name]
+        idx = np.round(tl / protorec.DT_MS).astype(np.int64)
+        i = np.asarray(simulate_long(kind, params, f"{name}-cell5", c),
+                       np.float64)
+        if name == "pr4":  # sweeps 1-3 only (table-2.py:466-468)
+            n = protorec.PR4_N // 16
+            keep = (idx >= n) & (idx < 4 * n)
+            idx, i_meas = idx[keep], i_meas[keep]
+        mae = float(np.mean(np.abs(i[idx] - np.asarray(i_meas))))
+        vals.append(mae)
+        print(f"{name} ({label}) | Total Loss {mae:.6f}")
+    # prediction columns vs the reference checkpoint's own simulation
+    for name in ("sinewave-cell5", "aps-cell5"):
+        if ref is None or args.oracle:  # trivially zero in oracle mode
+            vals.append(float("nan"))
+            continue
+        rkind, rparams = ref
+        v, dt = protorec.load_voltage(name)
+        ts = jnp.asarray(np.arange(len(v)) * dt, jnp.float32)
+        ours_i = gate_current(solve_states_real(kind, params, name),
+                              jnp.asarray(v, jnp.float32), c)
+        ref_i = gate_current(solve_states_real(rkind, rparams, name),
+                             jnp.asarray(v, jnp.float32), c)
+        mae = float(jnp.mean(jnp.abs(ours_i - ref_i)))
+        vals.append(mae)
+        print(f"{name} ({label}) vs ref ckpt | {mae:.6f}")
+    rows_out[label] = vals
 
+suffix = "-oracle" if args.oracle else ""
 latex_table(
-    os.path.join(OUT, "table-2.txt"), ["Pr3", "Pr5"], rows,
-    caption="MAE (nA) of our retrained models vs the reference's archived "
-            "checkpoints on nominal Pr3/Pr5 (measured currents unavailable)",
-)
+    os.path.join(OUT, f"table-2{suffix}.txt"), COLS, rows_out,
+    caption="real cell-5 MAE (nA) at capacitance-masked samples vs the "
+            "recovered smoothed measurements; (+) columns: agreement with "
+            "the reference's archived checkpoint on the reconstructed "
+            "protocol (measured currents not recoverable)")
