@@ -214,8 +214,23 @@ def prediction_cases():
         ("Staircase prediction", "staircase.csv", np.linspace(0.0, 15000.0, 7501)),
     ]:
         path = f"{REFDIR}/test-protocols/{fname}"
+        tsj = jnp.asarray(ts, jnp.float32)
         if os.path.exists(path):
-            rows.append((name, None, P.load_csv(path), jnp.asarray(ts, jnp.float32)))
+            rows.append((name, None, P.load_csv(path), tsj))
+        elif fname == "sinewave.csv":
+            # test-protocols/sinewave.csv is the published Beattie form; the
+            # reconstructed protocol reproduces s1/log2's archived MAE to 2%
+            from ionflux import protorec
+
+            rows.append((name, None, protorec.protocol("sinewave-cell5"),
+                         tsj))
+        elif fname == "aps.csv":
+            # approximate: the recovered ap-cell-5 waveform (the idealized
+            # aps.csv differs slightly; archived 0.018 vs 0.024 through s1)
+            from ionflux import protorec
+
+            rows.append((f"{name} (ap-cell-5 waveform)", None,
+                         protorec.protocol("aps-cell5"), tsj))
         else:
             print(f"{name}: protocol file {fname} not in mount, skipped")
     fams = [
