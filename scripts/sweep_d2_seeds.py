@@ -18,9 +18,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from common import setup, study_parser  # noqa: E402
 
-parser = study_parser("d2 seed-robustness sweep")
+parser = study_parser("d2 seed-robustness sweep")  # provides --iters
 parser.add_argument("--seeds", type=int, default=10)
-parser.add_argument("--iters", type=int, default=None)
 parser.add_argument("--anchor", type=float, default=10.0)
 parser.add_argument("--skip-control", action="store_true")
 args = parser.parse_args()
