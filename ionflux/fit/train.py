@@ -176,9 +176,11 @@ def boundary_anchors(base: HHParams | None, weight: float = 1.0,
     intent of train-s2.py:203 but holds for any init seed.
     """
     v = jnp.linspace(-140.0, 80.0, n_v, dtype=jnp.float32)
+    # keep a margin from the training hull (a in (0,1)) so the anchor tames
+    # extrapolation without biasing the fit at the data boundary
     a = jnp.concatenate([
-        jnp.linspace(-0.5, 0.0, n_a // 2, dtype=jnp.float32),
-        jnp.linspace(1.0, 1.5, n_a - n_a // 2, dtype=jnp.float32),
+        jnp.linspace(-0.5, -0.08, n_a // 2, dtype=jnp.float32),
+        jnp.linspace(1.08, 1.5, n_a - n_a // 2, dtype=jnp.float32),
     ])
     vv, aa = jnp.meshgrid(v, a, indexing="ij")
     x = jnp.stack([vv.reshape(-1) / VRANGE, aa.reshape(-1)], axis=-1)

@@ -42,7 +42,8 @@ from ionflux.models.registry import (
     HH_R1BAD_INIT,
     HHParams,
 )
-from ionflux.utils.ckpt import save_checkpoint, save_pytree
+from ionflux.utils.ckpt import (save_checkpoint, save_model_bundle,
+                                save_pytree)
 from ionflux.utils.ptload import pt_load
 
 REFDIR = "/root/reference"
@@ -290,4 +291,7 @@ def run_real_study(spec: RealStudy, outdir: str, iters: int | None = None,
     params = wrap_net(spec, net)
     save_pytree(os.path.join(outdir, "model.npz"), params)
     save_pytree(os.path.join(outdir, "best-model.npz"), best_params)
+    # model-entire analogue (train-r1.py:964-965)
+    save_model_bundle(os.path.join(outdir, "model-entire.npz"), best_params,
+                      spec)
     return best_params

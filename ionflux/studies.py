@@ -42,7 +42,8 @@ from ionflux.surface import (
     concat_surfaces,
     estimate_gate_surface,
 )
-from ionflux.utils.ckpt import load_pytree, save_pytree
+from ionflux.utils.ckpt import (load_pytree, save_model_bundle,
+                                save_pytree)
 
 REFDIR = "/root/reference"
 
@@ -178,6 +179,8 @@ def run_study(spec: SyntheticStudy, outdir: str, iters: int | None = None,
 
     params = wrap_net(spec, net)
     save_pytree(os.path.join(outdir, "model.npz"), params)
+    # model-entire analogue (train-s1.py:947-949)
+    save_model_bundle(os.path.join(outdir, "model-entire.npz"), params, spec)
 
     if debug:
         # the reference's --debug / rates3d surface plots

@@ -57,3 +57,21 @@ def load_checkpoint(dirname: str, params_template, opt_template=None,
     with open(base + ".json") as fh:
         meta = json.load(fh)
     return params, opt_state, meta["epoch"], meta["loss"]
+
+
+def save_model_bundle(path: str, params, spec=None) -> None:
+    """Self-describing model bundle — the `model-entire.pt` analogue
+    (train-s1.py:947-949): one .npz of the params pytree plus a JSON sidecar
+    with the study spec (model kind, architecture, constants), so a model
+    can be reloaded without knowing its construction site."""
+    save_pytree(path, params)
+    meta = {}
+    if spec is not None:
+        for k, v in getattr(spec, "__dict__", {}).items():
+            if isinstance(v, (str, int, float, bool)):
+                meta[k] = v
+            elif isinstance(v, tuple):
+                meta[k] = [float(x) for x in v]
+    with open(path.replace(".npz", "") + ".spec.json", "w") as fh:
+        json.dump({"params_file": os.path.basename(path), **meta}, fh,
+                  indent=1)

@@ -57,3 +57,24 @@ def test_stage_timer_and_throughput_meter():
 
     sps = solves_per_sec(fn, jnp.zeros(4), n_solves=4, reps=3, warmup=1)
     assert sps > 0 and len(calls) == 4
+
+
+def test_model_bundle_roundtrip(tmp_path):
+    import jax
+
+    from ionflux.studies import S1, init_params
+    from ionflux.utils.ckpt import load_pytree, save_model_bundle
+
+    params = init_params(S1)
+    path = str(tmp_path / "model-entire.npz")
+    save_model_bundle(path, params, S1)
+    import json
+    import os
+
+    with open(path.replace(".npz", "") + ".spec.json") as fh:
+        meta = json.load(fh)
+    assert meta["name"] == "s1" and meta["model_kind"] == "nnf"
+    restored = load_pytree(path, init_params(S1))
+    assert all(
+        bool((a == b).all()) for a, b in zip(
+            jax.tree.leaves(params), jax.tree.leaves(restored)))
