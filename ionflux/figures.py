@@ -444,3 +444,60 @@ def phase_portrait_figure(path, cases, cache_dir, cached=False, ds=10,
     fig.savefig(path, pad_inches=0.02, dpi=200, bbox_inches="tight")
     plt.close(fig)
     print(f"wrote {path}")
+
+
+def load_r_models(out_root: str, oracle: bool = False,
+                  refdir: str = "/root/reference"):
+    """The r-study model trio for figures/tables: cell-5 HH fit (Mo) plus
+    r1 NN-f / r2 NN-d — our retrained best checkpoints, or the reference's
+    archived ones (table-2.py:313-319) with oracle=True.  Returns
+    [(label, kind, params, constants)] with the per-model (g, E) of
+    table-2.py:32-37."""
+    import jax.numpy as jnp_
+
+    from ionflux.models.nn import NNdParams, NNfParams
+    from ionflux.models.registry import (CELL5_R1, CELL5_R2, CELL5_RAW,
+                                         HH_CELL5_FIT, HH_CELL5_INIT)
+    from ionflux.rstudies import R1, R2, init_params
+    from ionflux.utils.ckpt import load_pytree
+    from ionflux.utils.ptload import load_mlp_state_dict, pt_load
+
+    if oracle:
+        ck = pt_load(f"{refdir}/r1/best-model-checkpoint-2.pt")
+        sd = ck["state_dict"]
+        idxs = sorted({int(k.split(".")[1]) for k in sd
+                       if k.startswith("net.")})
+        r1 = NNfParams(
+            net=[(jnp_.asarray(np.ascontiguousarray(sd[f"net.{i}.weight"].T)),
+                  jnp_.asarray(sd[f"net.{i}.bias"])) for i in idxs],
+            rgate=HH_CELL5_INIT)
+        r2 = NNdParams(
+            net=[(jnp_.asarray(w), jnp_.asarray(b)) for w, b in
+                 load_mlp_state_dict(f"{refdir}/r2/model-state-dict-2.pt")],
+            hh=HH_CELL5_FIT)
+    else:
+        out = []
+        for spec in (R1, R2):
+            path = os.path.join(out_root, spec.name, "best-model.npz")
+            if not os.path.exists(path):
+                path = os.path.join(out_root, spec.name, "model.npz")
+            out.append(load_pytree(path, init_params(spec)))
+        r1, r2 = out
+    return [("Original", "hh", HH_CELL5_FIT, CELL5_RAW),
+            ("NN-f", "nnf", r1, CELL5_R1),
+            ("NN-d", "nnd", r2, CELL5_R2)]
+
+
+def dense_measurement(idx, vals, n, max_gap: int = 30):
+    """Recovered measurements live on the retained-sample lattice (every 7th
+    sample inside capacitance-masked runs); expand to a dense trace for
+    plotting by interpolating inside runs and NaN-ing the genuine mask gaps
+    (> max_gap samples), so matplotlib breaks the line there."""
+    idx = np.asarray(idx, np.int64)
+    d = np.interp(np.arange(n), idx, np.asarray(vals, np.float64))
+    for a, b in zip(idx[:-1], idx[1:]):
+        if b - a > max_gap:
+            d[a + 1:b] = np.nan
+    d[:idx[0]] = np.nan
+    d[idx[-1] + 1:] = np.nan
+    return d

@@ -1,11 +1,9 @@
 #!/usr/bin/env python
-"""Figure 4: r1 real-data study — NN-f (reference best checkpoint + our
-retrained weights) vs the cell-5 candidate model on Pr3/Pr5.
-
-Reference figure-4.py uses the recorded cell-5 protocol and current files
-(absent from the mount); this replay runs on nominal templates and compares
-MODELS to each other (no measured trace available), labelled accordingly.
-"""
+"""Figure 4: r-study training fits (paper Fig. 6) — measured cell-5 data vs
+the cell-5 HH fit (Mo), r1 NN-f and r2 NN-d on the real Pr3/Pr5 recordings
+(reference figure-4.py).  The grey data trace is the smoothed measurement
+recovered from the reference's surface caches (capacitance-masked samples;
+gaps at step edges are genuine mask gaps)."""
 
 import os
 import sys
@@ -13,80 +11,65 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from common import setup, study_parser  # noqa: E402
 
-args = study_parser("Figure 4: r1 study.").parse_args()
+parser = study_parser("Figure 4: r-study fits.")
+parser.add_argument("--oracle", action="store_true",
+                    help="use the reference's archived checkpoints")
+args = parser.parse_args()
 OUT = setup(args, "figure-4")
 
-import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
-import matplotlib  # noqa: E402
 
-matplotlib.use("Agg")
-import matplotlib.pyplot as plt  # noqa: E402
-
-from ionflux import protocols as P  # noqa: E402
-from ionflux.figures import cached_sim, mae_row  # noqa: E402
-from ionflux.models.nn import NNfParams  # noqa: E402
-from ionflux.models.registry import (  # noqa: E402
-    CELL5_R1,
-    CELL5_RAW,
-    HH_CELL5_FIT,
-    HH_CELL5_INIT,
-)
-from ionflux.rstudies import R1, init_params  # noqa: E402
-from ionflux.utils.ckpt import load_pytree  # noqa: E402
-from ionflux.utils.ptload import pt_load  # noqa: E402
+from ionflux import protorec  # noqa: E402
+from ionflux.eval import simulate_long  # noqa: E402
+from ionflux.figures import (SET2, dense_measurement,  # noqa: E402
+                             fit_composition_cols)
+from ionflux.models.registry import (CELL5_R1, CELL5_R2, CELL5_RAW,  # noqa: E402
+                                     HH_CELL5_FIT, HH_CELL5_INIT,
+                                     HH_R1BAD_INIT, CELL5_R1BAD)
+from ionflux.realdata import recover_measurements  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFDIR = "/root/reference"
 
 
-def load_ref_r1():
-    """The reference's best r1 checkpoint (figure-4.py:301-307) via the
-    torch-free reader."""
-    ckpt = pt_load(f"{REFDIR}/r1/best-model-checkpoint-2.pt")
-    sd = ckpt["state_dict"]
-    idxs = sorted({int(k.split(".")[1]) for k in sd if k.startswith("net.")})
-    net = [(jnp.asarray(np.ascontiguousarray(sd[f"net.{i}.weight"].T)),
-            jnp.asarray(sd[f"net.{i}.bias"])) for i in idxs]
-    return NNfParams(net=net, rgate=HH_CELL5_INIT)
+from ionflux.figures import load_r_models  # noqa: E402
 
+ROWS = load_r_models(os.path.join(REPO, "out"), oracle=args.oracle)
 
-models = {"Candidate (cell-5 fit)": ("hh", HH_CELL5_FIT, CELL5_RAW, "C2--")}
-models["NN-f (reference ckpt)"] = ("nnf", load_ref_r1(), CELL5_R1, "C0-")
-our_path = os.path.join(REPO, "out", "r1", "model.npz")
-if os.path.exists(our_path):
-    models["NN-f (ours)"] = ("nnf", load_pytree(our_path, init_params(R1)),
-                             CELL5_R1, "C1--")
+meas = recover_measurements(f"{REFDIR}/r1", CELL5_R1, HH_CELL5_INIT)
 
-for name, fam, ts_end, n in [
-    ("pr3", P.activation_family(dt_ms=1.0), 8000.0, 8001),
-    ("pr5", P.deactivation_family(dt_ms=1.0), 10000.0, 10001),
-]:
-    ts = np.linspace(0.0, ts_end, n)
-    ncols = 4
-    nrows = -(-len(fam) // ncols)
-    fig, axes = plt.subplots(nrows, ncols, figsize=(4 * ncols, 2.6 * nrows),
-                             squeeze=False)
-    sums = {label: [] for label in models}
-    for k, proto in enumerate(fam):
-        ax = axes[k // ncols][k % ncols]
-        preds = {}
-        for label, (kind, params, c, style) in models.items():
-            y = cached_sim(OUT, f"{name}-{label.replace(' ', '_')}-{k}",
-                           args.cached, kind, params, proto, ts, c)
-            preds[label] = y
-            ax.plot(ts, y, style, lw=0.9, label=label)
-        for label, v in mae_row(preds["NN-f (reference ckpt)"],
-                                preds).items():
-            sums[label].append(v)
-        if k == 0:
-            ax.legend(fontsize=6)
-        ax.set_xlabel("t (ms)")
-        ax.set_ylabel("I (nA)")
-    print(name, "mean MAE vs reference NN-f:",
-          {k: round(float(np.mean(v)), 4) for k, v in sums.items()})
-    fig.suptitle(f"r1 {name} (nominal protocols, no measured trace in mount)",
-                 fontsize=10)
-    fig.tight_layout()
-    fig.savefig(os.path.join(OUT, f"{name}.png"), dpi=160)
-    print(f"wrote {OUT}/{name}.png")
+ZOOMS = {  # figure-4.py:455-462
+    "pr3": [(1000, 5000, -0.1, 0.7, SET2[0]), (6600, 7100, -4.0, 0.5, SET2[1])],
+    "pr5": [(2600, 3000, -4.0, 2.0, SET2[2]), (8650, 9100, -3.0, 0.5, SET2[3])],
+}
+
+columns = []
+for name in ("pr3", "pr5"):
+    n_sweeps, period = protorec.SWEEPS[f"{name}-cell5"]
+    v, dt = protorec.load_voltage(f"{name}-cell5")
+    tl, i_meas = meas[name]
+    data = dense_measurement(np.round(tl / dt).astype(np.int64), i_meas,
+                             n_sweeps * period)
+    preds = {}
+    for label, kind, params, c in ROWS:
+        cache = os.path.join(
+            OUT, f"{name}-{label}{'-oracle' if args.oracle else ''}.npz")
+        if args.cached and os.path.exists(cache):
+            y = np.load(cache)["y"]
+        else:
+            y = np.asarray(simulate_long(kind, params, f"{name}-cell5", c),
+                           np.float64)
+            np.savez(cache, y=y)
+        preds[label] = y.reshape(n_sweeps, period)
+        err = y[np.round(tl / dt).astype(np.int64)] - np.asarray(i_meas)
+        print(f"{name} ({label}) | Total Loss {np.mean(np.abs(err)):.6f}")
+    columns.append({
+        "t": np.arange(period) * dt,
+        "v": v.reshape(n_sweeps, period),
+        "data": data.reshape(n_sweeps, period),
+        "preds": preds,
+        "zooms": ZOOMS[name],
+    })
+
+suffix = "-oracle" if args.oracle else ""
+fit_composition_cols(os.path.join(OUT, f"fig4{suffix}.png"), columns)

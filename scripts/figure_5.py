@@ -1,7 +1,10 @@
 #!/usr/bin/env python
-"""Figure 5: r2 real-data study — NN-d (reference checkpoint + ours) vs the
-cell-5 candidate on Pr3/Pr5.  Reference figure-5.py; nominal protocols, no
-measured trace in the mount."""
+"""Figure 5: r-study predictions (paper Fig. 7) — Pr4 sweeps on top,
+sinewave and APs full-width rows with zooms, on the real cell-5 protocols
+(reference figure-5.py).  Grey traces: the recovered smoothed Pr4
+measurement (masked samples); for sinewave/APs, where no measurement is
+recoverable, the reference's stored model traces (figure-5/y1-*.pt) stand in
+as the archived-run overlay."""
 
 import os
 import sys
@@ -9,63 +12,85 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from common import setup, study_parser  # noqa: E402
 
-args = study_parser("Figure 5: r2 study.").parse_args()
+parser = study_parser("Figure 5: r-study predictions.")
+parser.add_argument("--oracle", action="store_true")
+args = parser.parse_args()
 OUT = setup(args, "figure-5")
 
-import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
-import matplotlib  # noqa: E402
 
-matplotlib.use("Agg")
-import matplotlib.pyplot as plt  # noqa: E402
+from ionflux import protorec  # noqa: E402
+from ionflux.eval import simulate_long, solve_states_real  # noqa: E402
+from ionflux.figures import (SET2, dense_measurement,  # noqa: E402
+                             fit_composition_rows)
+from ionflux.models.registry import (CELL5_R1, CELL5_R1BAD, CELL5_R2,  # noqa: E402
+                                     CELL5_RAW, HH_CELL5_FIT, HH_R1BAD_INIT)
+from ionflux.observe import gate_current  # noqa: E402
+from ionflux.realdata import recover_measurements  # noqa: E402
+from ionflux.utils.ptload import pt_load  # noqa: E402
 
-from ionflux import protocols as P  # noqa: E402
-from ionflux.figures import cached_sim, mae_row  # noqa: E402
-from ionflux.models.nn import NNdParams  # noqa: E402
-from ionflux.models.registry import CELL5_R2, CELL5_RAW, HH_CELL5_FIT  # noqa: E402
-from ionflux.rstudies import R2, init_params  # noqa: E402
-from ionflux.utils.ckpt import load_pytree  # noqa: E402
-from ionflux.utils.ptload import load_mlp_state_dict  # noqa: E402
+from ionflux.figures import load_r_models  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFDIR = "/root/reference"
 
-# reference r2 weights (figure-5 loads r2/model-state-dict-2.pt)
-ref_net = [(jnp.asarray(w), jnp.asarray(b)) for w, b in
-           load_mlp_state_dict(f"{REFDIR}/r2/model-state-dict-2.pt")]
-models = {
-    "Candidate (cell-5 fit)": ("hh", HH_CELL5_FIT, CELL5_RAW, "C2--"),
-    "NN-d (reference)": ("nnd", NNdParams(net=ref_net, hh=HH_CELL5_FIT),
-                         CELL5_R2, "C0-"),
-}
-our_path = os.path.join(REPO, "out", "r2", "model.npz")
-if os.path.exists(our_path):
-    models["NN-d (ours)"] = ("nnd", load_pytree(our_path, init_params(R2)),
-                             CELL5_R2, "C1--")
+ROWS = load_r_models(os.path.join(REPO, "out"), oracle=args.oracle)
 
-for name, fam, ts_end, n in [
-    ("pr3", P.activation_family(dt_ms=1.0), 8000.0, 8001),
-    ("pr5", P.deactivation_family(dt_ms=1.0), 10000.0, 10001),
-]:
-    ts = np.linspace(0.0, ts_end, n)
-    fig, axes = plt.subplots(-(-len(fam) // 4), 4,
-                             figsize=(16, 2.6 * -(-len(fam) // 4)),
-                             squeeze=False)
-    preds_last = {}
-    for k, proto in enumerate(fam):
-        ax = axes[k // 4][k % 4]
-        for label, (kind, params, c, style) in models.items():
-            y = cached_sim(OUT, f"{name}-{label.replace(chr(32), chr(95))}-{k}", args.cached,
-                           kind, params, proto, ts, c)
-            preds_last[label] = y
-            ax.plot(ts, y, style, lw=0.9, label=label)
-        if k == 0:
-            ax.legend(fontsize=6)
-    print(name, "MAE vs reference NN-d:",
-          {k: round(v, 4)
-           for k, v in mae_row(preds_last["NN-d (reference)"],
-                               preds_last).items()})
-    fig.suptitle(f"r2 {name} (nominal protocols)", fontsize=10)
-    fig.tight_layout()
-    fig.savefig(os.path.join(OUT, f"{name}.png"), dpi=160)
-    print(f"wrote {OUT}/{name}.png")
+ZOOMS = {  # figure-5.py:476-485
+    "sinewave": [(3700, 4500, 0.0, 1.0, SET2[0]),
+                 (5500, 6250, -0.6, 1.4, SET2[1]),
+                 (6400, 7000, -1.8, 0.2, SET2[2])],
+    "aps": [(2400, 2800, -0.2, 3.3, SET2[0]),
+            (4300, 4900, 0.0, 2.0, SET2[1]),
+            (6100, 6500, -0.1, 2.4, SET2[2])],
+}
+
+meas4 = recover_measurements(f"{REFDIR}/r1-bad", CELL5_R1BAD, HH_R1BAD_INIT,
+                             protocols=("pr3", "pr4"), n_points=30)
+
+
+def sim(name, label, kind, params, c):
+    import jax.numpy as jnp
+
+    cache = os.path.join(
+        OUT, f"{name}-{label}{'-oracle' if args.oracle else ''}.npz")
+    if args.cached and os.path.exists(cache):
+        return np.load(cache)["y"]
+    if f"{name}-cell5" in protorec.SWEEPS:
+        y = np.asarray(simulate_long(kind, params, f"{name}-cell5", c),
+                       np.float64)
+    else:
+        v, _ = protorec.load_voltage(f"{name}-cell5")
+        y = np.asarray(gate_current(
+            solve_states_real(kind, params, f"{name}-cell5"),
+            jnp.asarray(v, jnp.float32), c), np.float64)
+    np.savez(cache, y=y)
+    return y
+
+
+panels = []
+for name in ("pr4", "sinewave", "aps"):
+    v, dt = protorec.load_voltage(f"{name}-cell5")
+    if name == "pr4":
+        n_sweeps, period = protorec.SWEEPS["pr4-cell5"]
+        tl, i_meas = meas4["pr4"]
+        data = dense_measurement(np.round(tl / dt).astype(np.int64), i_meas,
+                                 n_sweeps * period)
+        shape = (n_sweeps, period)
+    else:
+        data = np.asarray(pt_load(f"{REFDIR}/figure-5/y1-{name}.pt"),
+                          np.float64).reshape(-1)
+        shape = (1, len(v))
+    preds = {label: sim(name, label, kind, params, c).reshape(shape)
+             for label, kind, params, c in ROWS}
+    panels.append({
+        "t": np.arange(shape[1]) * dt,
+        "v": v.reshape(shape),
+        "data": data.reshape(shape),
+        "preds": preds,
+        "zooms": ZOOMS.get(name, []),
+    })
+
+suffix = "-oracle" if args.oracle else ""
+fit_composition_rows(os.path.join(OUT, f"fig5{suffix}.png"),
+                     [panels[0]], panels[1:])
