@@ -193,6 +193,11 @@ MODEL_LEGEND = {
     "NN-f": r"$a$-gate as NN (NN-f)",
     "NN-d": "NN as discrepancy term (NN-d)",
 }
+MODEL_STYLES["NN-f (r1-bad ref)"] = ("--", "C1")
+MODEL_STYLES["NN-f (r1-bad ours)"] = ("-.", "C3")
+MODEL_LEGEND["NN-f (r1-bad ref)"] = "NN-f r1-bad (reference)"
+MODEL_LEGEND["NN-f (r1-bad ours)"] = "NN-f r1-bad (retrained)"
+
 
 
 def _sns_theme(plt):

@@ -1,7 +1,9 @@
 #!/usr/bin/env python
-"""Figure 6: r1-bad (insufficient training protocols) vs the candidate and
-the properly-trained r1 model — the negative-control comparison.
-Reference figure-6.py; nominal protocols."""
+"""Figure 6: r1-bad negative control (paper Fig. 8) — a model trained on
+insufficient protocols (Pr3+Pr4 only) fits its training data but fails on
+unseen deactivation.  Real protocols: Pr4 column (r1-bad training data, with
+the recovered measurement and the reference's stored r1-bad trace) and Pr5
+column (unseen; no r1-bad training signal).  Reference figure-6.py."""
 
 import os
 import sys
@@ -14,55 +16,74 @@ OUT = setup(args, "figure-6")
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
-import matplotlib  # noqa: E402
 
-matplotlib.use("Agg")
-import matplotlib.pyplot as plt  # noqa: E402
-
-from ionflux import protocols as P  # noqa: E402
-from ionflux.figures import cached_sim  # noqa: E402
+from ionflux import protorec  # noqa: E402
+from ionflux.eval import simulate_long  # noqa: E402
+from ionflux.figures import (SET2, dense_measurement,  # noqa: E402
+                             fit_composition_cols)
 from ionflux.models.nn import NNfParams  # noqa: E402
-from ionflux.models.registry import (  # noqa: E402
-    CELL5_R1,
-    CELL5_R1BAD,
-    CELL5_RAW,
-    HH_CELL5_FIT,
-    HH_R1BAD_INIT,
-)
-from ionflux.rstudies import R1, R1BAD, init_params  # noqa: E402
+from ionflux.models.registry import (CELL5_R1, CELL5_R1BAD,  # noqa: E402
+                                     CELL5_RAW, HH_CELL5_FIT,
+                                     HH_CELL5_INIT, HH_R1BAD_INIT)
+from ionflux.realdata import recover_measurements  # noqa: E402
+from ionflux.rstudies import R1BAD, init_params  # noqa: E402
 from ionflux.utils.ckpt import load_pytree  # noqa: E402
 from ionflux.utils.ptload import load_mlp_state_dict  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFDIR = "/root/reference"
 
-ref_bad = [(jnp.asarray(w), jnp.asarray(b)) for w, b in
-           load_mlp_state_dict(f"{REFDIR}/r1-bad/model-state-dict.pt")]
+ref_bad = NNfParams(
+    net=[(jnp.asarray(w), jnp.asarray(b)) for w, b in
+         load_mlp_state_dict(f"{REFDIR}/r1-bad/model-state-dict.pt")],
+    rgate=HH_R1BAD_INIT)
 models = {
-    "Candidate": ("hh", HH_CELL5_FIT, CELL5_RAW, "C2-"),
-    "NN-f r1-bad (reference)": ("nnf",
-                                NNfParams(net=ref_bad, rgate=HH_R1BAD_INIT),
-                                CELL5_R1BAD, "C3--"),
+    "Original": ("hh", HH_CELL5_FIT, CELL5_RAW),
+    "NN-f (r1-bad ref)": ("nnf", ref_bad, CELL5_R1BAD),
 }
-for spec, c, label, style in [(R1, CELL5_R1, "NN-f r1 (ours)", "C0--"),
-                              (R1BAD, CELL5_R1BAD, "NN-f r1-bad (ours)",
-                               "C1--")]:
-    path = os.path.join(REPO, "out", spec.name, "model.npz")
-    if os.path.exists(path):
-        models[label] = ("nnf", load_pytree(path, init_params(spec)), c, style)
+ours = os.path.join(REPO, "out", "r1-bad", "best-model.npz")
+if not os.path.exists(ours):
+    ours = os.path.join(REPO, "out", "r1-bad", "model.npz")
+if os.path.exists(ours):
+    models["NN-f (r1-bad ours)"] = ("nnf", load_pytree(ours,
+                                                       init_params(R1BAD)),
+                                    CELL5_R1BAD)
 
-proto = P.deactivation_protocol(-50.0, dt_ms=1.0)  # unseen by r1-bad
-ts = np.linspace(0.0, 10000.0, 10001)
-fig, ax = plt.subplots(figsize=(8, 4))
-for label, (kind, params, c, style) in models.items():
-    y = cached_sim(OUT, label.replace(" ", "_"), args.cached, kind, params,
-                   proto, ts, c)
-    ax.plot(ts, y, style, lw=1.0, label=label)
-ax.legend(fontsize=8)
-ax.set_xlabel("t (ms)")
-ax.set_ylabel("I (nA)")
-ax.set_title("Pr5 -50 mV sweep: r1-bad extrapolates poorly on unseen "
-             "deactivation (nominal protocols)", fontsize=9)
-fig.tight_layout()
-fig.savefig(os.path.join(OUT, "fig6.png"), dpi=170)
-print(f"wrote {OUT}/fig6.png")
+meas = recover_measurements(f"{REFDIR}/r1-bad", CELL5_R1BAD, HH_R1BAD_INIT,
+                            protocols=("pr3", "pr4"), n_points=30)
+meas35 = recover_measurements(f"{REFDIR}/r1", CELL5_R1, HH_CELL5_INIT)
+
+ZOOMS = {
+    "pr4": [(850, 1100, -3.0, 8.0, SET2[0]), (1060, 1260, -3.0, 2.0, SET2[1])],
+    "pr5": [(2600, 3000, -4.0, 2.0, SET2[2]), (8650, 9100, -3.0, 0.5, SET2[3])],
+}
+
+columns = []
+for name, m in (("pr4", meas), ("pr5", meas35)):
+    n_sweeps, period = protorec.SWEEPS[f"{name}-cell5"]
+    v, dt = protorec.load_voltage(f"{name}-cell5")
+    tl, i_meas = m[name]
+    data = dense_measurement(np.round(tl / dt).astype(np.int64), i_meas,
+                             n_sweeps * period)
+    preds = {}
+    for label, (kind, params, c) in models.items():
+        cache = os.path.join(OUT, f"{name}-{label}.npz")
+        if args.cached and os.path.exists(cache):
+            y = np.load(cache)["y"]
+        else:
+            y = np.asarray(simulate_long(kind, params, f"{name}-cell5", c),
+                           np.float64)
+            np.savez(cache, y=y)
+        preds[label] = y.reshape(n_sweeps, period)
+        idx = np.round(tl / dt).astype(np.int64)
+        print(f"{name} ({label}) | Total Loss "
+              f"{np.mean(np.abs(y[idx] - np.asarray(i_meas))):.6f}")
+    columns.append({
+        "t": np.arange(period) * dt,
+        "v": v.reshape(n_sweeps, period),
+        "data": data.reshape(n_sweeps, period),
+        "preds": preds,
+        "zooms": ZOOMS[name],
+    })
+
+fit_composition_cols(os.path.join(OUT, "fig6.png"), columns)
