@@ -112,15 +112,16 @@ def surface_from_recordings(spec: RealStudy, data_dir: str,
     for fname in files:
         t, i, v = load_recording(os.path.join(data_dir, fname))
         kw = {}
+        # per-protocol exp-vs-spline cutoffs (train-r1.py:460, 524, 602)
+        cfg = RealSurfaceConfig(std_cutoff=0.01 if "pr3" in fname else 0.015)
         if "pr5" in fname:
             kw = dict(bi_exp_times=pr5_bi, cma_voltages=(-90.0,))
         if smoothi:
             ts_, vs_, a_, dadt_, d2_ = real_surface_smoothi(
-                t, i, v, spec.rgate, spec.constants, RealSurfaceConfig(),
-                **kw)
+                t, i, v, spec.rgate, spec.constants, cfg, **kw)
         else:
             ts_, vs_, a_, dadt_ = real_surface_spline(
-                t, i, v, spec.rgate, spec.constants, RealSurfaceConfig())
+                t, i, v, spec.rgate, spec.constants, cfg)
         parts.append((ts_, vs_, a_, dadt_))
     t = np.concatenate([p[0] for p in parts])
     v = np.concatenate([p[1] for p in parts])
@@ -194,8 +195,10 @@ class RealValidator:
         from ionflux import protorec
         from ionflux.realdata import recover_measurements
 
-        meas = recover_measurements(f"{REFDIR}/{spec.surface_dir}",
-                                    spec.constants, spec.rgate)
+        # the measured current is a physical quantity — recover it from the
+        # r1 surface cache with r1's own inversion constants regardless of
+        # which study is being validated (r1-bad's cache covers Pr3+Pr4 only)
+        meas = recover_measurements(f"{REFDIR}/r1", CELL5_R1, HH_CELL5_INIT)
         self.spec = spec
         self.cases = []
         for name in protocols:

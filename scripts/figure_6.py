@@ -41,9 +41,9 @@ models = {
     "Original": ("hh", HH_CELL5_FIT, CELL5_RAW),
     "NN-f (r1-bad ref)": ("nnf", ref_bad, CELL5_R1BAD),
 }
-ours = os.path.join(REPO, "out", "r1-bad", "best-model.npz")
-if not os.path.exists(ours):
-    ours = os.path.join(REPO, "out", "r1-bad", "model.npz")
+# the reference's r1-bad analysis uses the FINAL model, not the validation
+# best (figure-6.py loads model-state-dict.pt) — keep that convention
+ours = os.path.join(REPO, "out", "r1-bad", "model.npz")
 if os.path.exists(ours):
     models["NN-f (r1-bad ours)"] = ("nnf", load_pytree(ours,
                                                        init_params(R1BAD)),

@@ -49,10 +49,9 @@ if args.oracle or not os.path.exists(
              load_mlp_state_dict(f"{REFDIR}/r1-bad/model-state-dict.pt")],
         rgate=HH_R1BAD_INIT)
 else:
-    path = os.path.join(REPO, "out", "r1-bad", "best-model.npz")
-    if not os.path.exists(path):
-        path = os.path.join(REPO, "out", "r1-bad", "model.npz")
-    params = load_pytree(path, init_params(R1BAD))
+    # final model, as the reference's analysis uses (not the validation best)
+    params = load_pytree(os.path.join(REPO, "out", "r1-bad", "model.npz"),
+                         init_params(R1BAD))
 
 
 def a_traj(name):
