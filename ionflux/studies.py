@@ -78,16 +78,23 @@ S2 = SyntheticStudy("s2", "hh", HH_B06, HH_B06, "nnd", HH_B06, 1e-3,
 # MAE 0.079 vs 0.137; reference-weight rollouts score 0.062)
 D1 = SyntheticStudy("d1", "markov", MARKOV_B06, HH_D0_INIT, "nnf", None, 0.1,
                     HH_D_PRETRAIN, SurfaceConfig(), iters=8000, step_size=400)
-# d2 trains longer with a slower decay (train-d2.py:903-904: step 400, 8000)
+# d2 trains longer with a slower decay (train-d2.py:903-904: step 400, 8000).
+# The training surface leaves a >= 1 unconstrained and most inits converge to
+# nets whose extrapolation there destabilises whole-trace solves (without the
+# anchor, 4/10 seeds diverge outright — out/d2-seeds/report.json).  The
+# boundary-anchor regulariser at weight 1.0 makes ALL 10/10 swept seeds
+# rollout-stable (out/d2-seeds-w1/report.json), so it is the default; the
+# reference-parity recipe (no anchor, a hand-picked stable seed like the
+# reference's lucky torch draw) is kept as D2_PARITY.
 D2 = SyntheticStudy("d2", "markov", MARKOV_B06, HH_D0_INIT, "nnd", HH_D2_BASE,
                     1e-3, None,
                     SurfaceConfig(sparse=21, smooth_window=151, spline_s=1.0),
-                    # seed chosen for a converged AND rollout-stable draw:
-                    # the surface leaves a >= 1 unconstrained, and most inits
-                    # converge to nets whose extrapolation there destabilises
-                    # whole-trace solves (the reference's torch init happened
-                    # to land on a stable one)
-                    iters=8000, step_size=400, init_seed=20)
+                    iters=8000, step_size=400, init_seed=0,
+                    anchor_weight=1.0)
+D2_PARITY = SyntheticStudy(
+    "d2", "markov", MARKOV_B06, HH_D0_INIT, "nnd", HH_D2_BASE, 1e-3, None,
+    SurfaceConfig(sparse=21, smooth_window=151, spline_s=1.0),
+    iters=8000, step_size=400, init_seed=20)
 
 STUDIES = {s.name: s for s in (S1, S2, D1, D2)}
 
@@ -267,3 +274,46 @@ def predict_study(spec: SyntheticStudy, params):
             print(header)
         out[label.strip()] = report_mae(label, p_, t_)
     return out
+
+
+def run_study_best_of(spec: SyntheticStudy, outdir: str, n_seeds: int = 4,
+                      iters: int | None = None, cached: bool = False):
+    """Train across init seeds and keep the validation-best model.
+
+    Selection metric: mean whole-trace rollout MAE vs the ground truth on
+    AP2Hz + the activation/deactivation families (the protocols the
+    reference's d-study logs validate on).  With the boundary anchor every
+    seed is rollout-stable (out/d2-seeds-w1/report.json), so this replaces
+    the reference's single lucky torch draw with standard model selection.
+    """
+    from dataclasses import replace as _replace
+
+    protos = ([P.load_csv(f"{REFDIR}/test-protocols/ap2hz.csv")]
+              + P.activation_family() + P.deactivation_family())
+    ts_list = ([jnp.linspace(0.0, 3000.0, 1501, jnp.float32)]
+               + [jnp.linspace(0.0, 8000.0, 2001, jnp.float32)] * 7
+               + [jnp.linspace(0.0, 10000.0, 2001, jnp.float32)] * 9)
+
+    best = (float("inf"), None)
+    for seed in range(n_seeds):
+        params = run_study(_replace(spec, init_seed=seed), outdir,
+                           iters=iters, cached=True if seed else cached)
+        maes = []
+        ok = True
+        for proto, ts in zip(protos, ts_list):
+            truth = simulate(spec.gt_kind, spec.gt, proto, ts, SYNTHETIC)
+            pred = simulate(spec.model_kind, params, proto, ts, SYNTHETIC)
+            if not bool(jnp.all(jnp.isfinite(pred))):
+                ok = False
+                break
+            maes.append(float(jnp.mean(jnp.abs(pred - truth))))
+        score = float(np.mean(maes)) if ok else float("inf")
+        print(f"seed {seed}: validation rollout MAE "
+              f"{score if ok else float('inf'):.4f}")
+        if score < best[0]:
+            best = (score, params)
+    params = best[1]
+    save_pytree(os.path.join(outdir, "model.npz"), params)
+    save_model_bundle(os.path.join(outdir, "model-entire.npz"), params, spec)
+    print(f"kept validation-best model (rollout MAE {best[0]:.4f})")
+    return params

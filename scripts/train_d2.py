@@ -12,10 +12,13 @@ from common import setup, study_parser  # noqa: E402
 args = study_parser("IKr syn. discrepancy fit with NN-d (d2).").parse_args()
 OUT = setup(args, "d2")
 
-from ionflux.studies import D2, load_study_params, predict_study, run_study  # noqa: E402
+from ionflux.studies import (D2, load_study_params, predict_study,  # noqa: E402
+                             run_study_best_of)
 
 if args.pred:
     predict_study(D2, load_study_params(D2, OUT))
 else:
-    run_study(D2, OUT, iters=args.iters, cached=args.cached,
-              debug=args.debug)
+    # anchored training is stable for every seed; keep the validation-best
+    # of a small ensemble (replaces the reference's single lucky torch draw)
+    run_study_best_of(D2, OUT, n_seeds=4, iters=args.iters,
+                      cached=args.cached)
