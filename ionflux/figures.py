@@ -506,3 +506,38 @@ def dense_measurement(idx, vals, n, max_gap: int = 30):
     d[:idx[0]] = np.nan
     d[idx[-1] + 1:] = np.nan
     return d
+
+
+def load_s_models(out_root: str | None = None,
+                  refdir: str = "/root/reference"):
+    """The s-study trio for the supplement figures (figure-2-s.py:292-307):
+    Original = the candidate HH (which IS the ground truth in the
+    no-discrepancy studies) + s1 NN-f / s2 NN-d — archived weights when
+    out_root is None, else the retrained models from out/."""
+    import jax.numpy as jnp_
+
+    from ionflux.models.registry import HH_B06
+
+    if out_root is None:
+        from ionflux.models.nn import NNdParams, NNfParams
+        from ionflux.utils import load_mlp_state_dict
+
+        def net(study):
+            return [(jnp_.asarray(w), jnp_.asarray(b)) for w, b in
+                    load_mlp_state_dict(
+                        f"{refdir}/{study}/model-state-dict.pt")]
+
+        return {
+            "Original": ("hh", HH_B06, "C2--"),
+            "NN-f": ("nnf", NNfParams(net=net("s1"), rgate=HH_B06), "C0--"),
+            "NN-d": ("nnd", NNdParams(net=net("s2"), hh=HH_B06), "C1--"),
+        }
+    from ionflux.studies import S1, S2, load_study_params
+
+    models = {"Original": ("hh", HH_B06, "C2--")}
+    for spec, label in [(S1, "NN-f"), (S2, "NN-d")]:
+        d = os.path.join(out_root, spec.name)
+        if os.path.exists(os.path.join(d, "model.npz")):
+            models[label] = (spec.model_kind, load_study_params(spec, d),
+                             "C0--")
+    return models

@@ -14,8 +14,11 @@ from common import setup, study_parser  # noqa: E402
 parser = study_parser("Figure 2: d-study fits.")
 parser.add_argument("--oracle", action="store_true",
                     help="use the reference's archived checkpoints")
+parser.add_argument("--s", action="store_true",
+                    help="s-study supplement variant (HH ground truth, "
+                         "s1/s2 models; figure-2-s.py/figure-3-s.py)")
 args = parser.parse_args()
-OUT = setup(args, "figure-2")
+OUT = setup(args, "figure-2-s" if args.s else "figure-2")
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -25,12 +28,20 @@ from ionflux import protorec  # noqa: E402
 from ionflux.eval import simulate_long  # noqa: E402
 from ionflux.figures import (SET2, fit_composition_cols, load_d_models,  # noqa: E402
                              load_d_models_reference, mae_row)
-from ionflux.models.registry import MARKOV_B06, TABLE1  # noqa: E402
+from ionflux.models.registry import HH_B06, MARKOV_B06, TABLE1  # noqa: E402
 from ionflux.observe import add_noise  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-models = (load_d_models_reference() if args.oracle
-          else load_d_models(os.path.join(REPO, "out")))
+from ionflux.figures import load_s_models  # noqa: E402
+
+if args.s:
+    models = load_s_models(None if args.oracle
+                           else os.path.join(REPO, "out"))
+    GT_KIND, GT_PARAMS = "hh", HH_B06
+else:
+    models = (load_d_models_reference() if args.oracle
+              else load_d_models(os.path.join(REPO, "out")))
+    GT_KIND, GT_PARAMS = "markov", MARKOV_B06
 
 
 def sim(cache_name, kind, params, proto_name):
@@ -54,7 +65,7 @@ for seed, name in enumerate(["pr3-cell5", "pr5-cell5"]):
     n_sweeps, period = protorec.SWEEPS[name]
     v, dt = protorec.load_voltage(name)
     t = np.arange(period) * dt
-    truth = sim(f"{name}-gt", "markov", MARKOV_B06, name)
+    truth = sim(f"{name}-gt{'-s' if args.s else ''}", GT_KIND, GT_PARAMS, name)
     data = np.asarray(add_noise(jax.random.PRNGKey(seed), jnp.asarray(truth)),
                       np.float64)
     preds = {label: sim(f"{name}-{label}{'-oracle' if args.oracle else ''}",
@@ -70,5 +81,5 @@ for seed, name in enumerate(["pr3-cell5", "pr5-cell5"]):
         "zooms": ZOOMS[name],
     })
 
-suffix = "-oracle" if args.oracle else ""
+suffix = ("-s" if args.s else "") + ("-oracle" if args.oracle else "")
 fit_composition_cols(os.path.join(OUT, f"fig2{suffix}.png"), columns)

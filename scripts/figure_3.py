@@ -12,8 +12,11 @@ from common import setup, study_parser  # noqa: E402
 parser = study_parser("Figure 3: d-study predictions.")
 parser.add_argument("--oracle", action="store_true",
                     help="use the reference's archived checkpoints")
+parser.add_argument("--s", action="store_true",
+                    help="s-study supplement variant (HH ground truth, "
+                         "s1/s2 models; figure-2-s.py/figure-3-s.py)")
 args = parser.parse_args()
-OUT = setup(args, "figure-3")
+OUT = setup(args, "figure-3-s" if args.s else "figure-3")
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -23,14 +26,22 @@ from ionflux import protorec  # noqa: E402
 from ionflux.eval import simulate, simulate_long  # noqa: E402
 from ionflux.figures import (SET2, fit_composition_rows, load_d_models,  # noqa: E402
                              load_d_models_reference, mae_row)
-from ionflux.models.registry import MARKOV_B06, TABLE1  # noqa: E402
+from ionflux.models.registry import HH_B06, MARKOV_B06, TABLE1  # noqa: E402
 from ionflux.observe import add_noise  # noqa: E402
 from ionflux.utils.ptload import pt_load  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFDIR = "/root/reference"
-models = (load_d_models_reference() if args.oracle
-          else load_d_models(os.path.join(REPO, "out")))
+from ionflux.figures import load_s_models  # noqa: E402
+
+if args.s:
+    models = load_s_models(None if args.oracle
+                           else os.path.join(REPO, "out"))
+    GT_KIND, GT_PARAMS = "hh", HH_B06
+else:
+    models = (load_d_models_reference() if args.oracle
+              else load_d_models(os.path.join(REPO, "out")))
+    GT_KIND, GT_PARAMS = "markov", MARKOV_B06
 
 
 def sim(cache_name, kind, params, proto_name):
@@ -54,10 +65,11 @@ def sim(cache_name, kind, params, proto_name):
 def data_trace(proto_name, yc_name, seed):
     """Noisy Markov-GT data; the stored yc caches carry the reference's own
     noise realisation bit-for-bit where present."""
-    if yc_name and os.path.isdir(REFDIR):
+    if yc_name and not args.s and os.path.isdir(REFDIR):
         return np.asarray(pt_load(f"{REFDIR}/table-1/{yc_name}"),
                           np.float64).reshape(-1)
-    truth = sim(f"{proto_name}-gt", "markov", MARKOV_B06, proto_name)
+    truth = sim(f"{proto_name}-gt{'-s' if args.s else ''}", GT_KIND,
+                GT_PARAMS, proto_name)
     return np.asarray(add_noise(jax.random.PRNGKey(seed), jnp.asarray(truth)),
                       np.float64)
 
@@ -95,6 +107,6 @@ for seed, (name, yc, zooms) in enumerate(CASES):
         "zooms": zooms,
     })
 
-suffix = "-oracle" if args.oracle else ""
+suffix = ("-s" if args.s else "") + ("-oracle" if args.oracle else "")
 fit_composition_rows(os.path.join(OUT, f"fig3{suffix}.png"),
                      [panels[0]], panels[1:])
