@@ -100,3 +100,43 @@ def test_sinewave_gta_trajectory_parity(reference_dir):
     rmse = float(np.sqrt(np.mean(
         (np.asarray(ys)[:, 0] - np.asarray(a_ref, np.float64)) ** 2)))
     assert rmse < 1e-3, rmse
+
+
+def test_sinewave_hh_current_parity_f32(reference_dir):
+    """The recovered sinewave protocol reproduces the stored clean d0-HH
+    current through our f32 solver (the full-precision build-time check is
+    scripts/reconstruct_protocols.py; this guards the shipped asset)."""
+    import jax.numpy as jnp
+
+    from ionflux import protocols as P
+    from ionflux.eval import simulate
+    from ionflux.models.registry import HH_D0_FIT, TABLE1
+    from ionflux.utils.ptload import pt_load
+
+    v, dt = R.load_voltage("sinewave-cell5")
+    t = np.arange(len(v)) * dt
+    proto = P.from_time_series(t, v)
+    ts = jnp.asarray(t, jnp.float32)
+    i = simulate("hh", HH_D0_FIT, proto, ts, TABLE1, max_steps=400_000,
+                 buffer_size=32768)
+    yo = np.asarray(pt_load(f"{reference_dir}/table-1/yo-sinewave.pt"),
+                    np.float64).reshape(-1)
+    rmse = float(np.sqrt(np.mean((np.asarray(i, np.float64) - yo) ** 2)))
+    assert rmse < 2e-3, rmse
+
+
+def test_pr4_chained_gta_trajectory_parity_f32(reference_dir):
+    """The Pr4 step table + chained solver reproduce the stored gt_a
+    trajectory (f32, guards simulate_long / solve_states_long)."""
+    import jax.numpy as jnp
+
+    from ionflux.eval import solve_states_long
+    from ionflux.models.registry import MARKOV_B06
+    from ionflux.utils.ptload import pt_load
+
+    a_ref, _ = pt_load(f"{reference_dir}/figure-1-s1/yc-pr4.pt")
+    ys = solve_states_long("gta", MARKOV_B06, "pr4-cell5",
+                           y0=jnp.asarray([0.0, 0.0], jnp.float32))
+    rmse = float(np.sqrt(np.mean(
+        (np.asarray(ys)[:, 0] - np.asarray(a_ref, np.float64)) ** 2)))
+    assert rmse < 1e-3, rmse
