@@ -90,7 +90,7 @@ D2 = SyntheticStudy("d2", "markov", MARKOV_B06, HH_D0_INIT, "nnd", HH_D2_BASE,
                     1e-3, None,
                     SurfaceConfig(sparse=21, smooth_window=151, spline_s=1.0),
                     iters=8000, step_size=400, init_seed=0,
-                    anchor_weight=1.0)
+                    anchor_weight=0.3)
 D2_PARITY = SyntheticStudy(
     "d2", "markov", MARKOV_B06, HH_D0_INIT, "nnd", HH_D2_BASE, 1e-3, None,
     SurfaceConfig(sparse=21, smooth_window=151, spline_s=1.0),
