@@ -23,9 +23,7 @@ from ionflux import protorec  # noqa: E402
 from ionflux.eval import simulate_long  # noqa: E402
 from ionflux.figures import (SET2, dense_measurement,  # noqa: E402
                              fit_composition_cols)
-from ionflux.models.registry import (CELL5_R1, CELL5_R2, CELL5_RAW,  # noqa: E402
-                                     HH_CELL5_FIT, HH_CELL5_INIT,
-                                     HH_R1BAD_INIT, CELL5_R1BAD)
+from ionflux.models.registry import CELL5_R1, HH_CELL5_INIT  # noqa: E402
 from ionflux.realdata import recover_measurements  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -23,8 +23,7 @@ from ionflux import protorec  # noqa: E402
 from ionflux.eval import simulate_long, solve_states_real  # noqa: E402
 from ionflux.figures import (SET2, dense_measurement,  # noqa: E402
                              fit_composition_rows)
-from ionflux.models.registry import (CELL5_R1, CELL5_R1BAD, CELL5_R2,  # noqa: E402
-                                     CELL5_RAW, HH_CELL5_FIT, HH_R1BAD_INIT)
+from ionflux.models.registry import CELL5_R1BAD, HH_R1BAD_INIT  # noqa: E402
 from ionflux.observe import gate_current  # noqa: E402
 from ionflux.realdata import recover_measurements  # noqa: E402
 from ionflux.utils.ptload import pt_load  # noqa: E402
