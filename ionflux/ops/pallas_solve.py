@@ -214,9 +214,9 @@ def fused_nnf_solve(
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + 2 * len(ws)),
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[

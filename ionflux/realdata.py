@@ -173,6 +173,12 @@ def recover_measurements(surface_dir: str, c: Constants, rgate: HHParams,
     v = np.asarray(pt_load(f"{surface_dir}/v.pt"))
     a = np.asarray(pt_load(f"{surface_dir}/a.pt"))
     if os.path.exists(f"{surface_dir}/t.pt"):
+        # the PR3_N split below is specific to the r1/r2 Pr3+Pr5 caches
+        if tuple(protocols) != ("pr3", "pr5"):
+            raise ValueError(
+                "the t.pt split is hardcoded for protocols=('pr3','pr5'); "
+                f"got {tuple(protocols)} — use the mask-derived branch "
+                "(surface dirs without t.pt) for other pairs")
         t = np.asarray(pt_load(f"{surface_dir}/t.pt"))
         n1 = protorec.PR3_N
         in3 = np.round(t / protorec.DT_MS).astype(np.int64) < n1

@@ -250,6 +250,10 @@ def run_real_study(spec: RealStudy, outdir: str, iters: int | None = None,
         # Pr5-only during training (single-core budget); the reference sums
         # measured APs + Pr5 MAEs (train-r1.py:947-951)
         validator = RealValidator(spec, protocols=("pr5",))
+        print("validator: best-checkpoint selection on Pr5 MAE only "
+              "(reference sums measured APs + Pr5, train-r1.py:947-951; "
+              "the measured APs currents are not recoverable from the "
+              "reference artifacts)")
     except Exception as exc:  # reference surfaces/assets absent
         print(f"(real validation unavailable: {exc}; "
               "falling back to rollout-health selection)")

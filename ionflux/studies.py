@@ -82,10 +82,12 @@ D1 = SyntheticStudy("d1", "markov", MARKOV_B06, HH_D0_INIT, "nnf", None, 0.1,
 # The training surface leaves a >= 1 unconstrained and most inits converge to
 # nets whose extrapolation there destabilises whole-trace solves (without the
 # anchor, 4/10 seeds diverge outright — out/d2-seeds/report.json).  The
-# boundary-anchor regulariser at weight 1.0 makes ALL 10/10 swept seeds
-# rollout-stable (out/d2-seeds-w1/report.json), so it is the default; the
-# reference-parity recipe (no anchor, a hand-picked stable seed like the
-# reference's lucky torch draw) is kept as D2_PARITY.
+# boundary-anchor regulariser stabilises rollouts (10/10 seeds at w=1.0,
+# out/d2-seeds-w1/report.json; 6/6 at w=0.3, out/d2-seeds-w03/report.json);
+# w=0.3 was adopted over 1.0 because the weaker pull biases the in-hull fit
+# less while still keeping every swept seed stable.  The reference-parity
+# recipe (no anchor, a hand-picked stable seed like the reference's lucky
+# torch draw) is kept as D2_PARITY.
 D2 = SyntheticStudy("d2", "markov", MARKOV_B06, HH_D0_INIT, "nnd", HH_D2_BASE,
                     1e-3, None,
                     SurfaceConfig(sparse=21, smooth_window=151, spline_s=1.0),
@@ -277,7 +279,8 @@ def predict_study(spec: SyntheticStudy, params):
 
 
 def run_study_best_of(spec: SyntheticStudy, outdir: str, n_seeds: int = 4,
-                      iters: int | None = None, cached: bool = False):
+                      iters: int | None = None, cached: bool = False,
+                      debug: bool = False):
     """Train across init seeds and keep the validation-best model.
 
     Selection metric: mean whole-trace rollout MAE vs the ground truth on
@@ -297,7 +300,8 @@ def run_study_best_of(spec: SyntheticStudy, outdir: str, n_seeds: int = 4,
     best = (float("inf"), None)
     for seed in range(n_seeds):
         params = run_study(_replace(spec, init_seed=seed), outdir,
-                           iters=iters, cached=True if seed else cached)
+                           iters=iters, cached=True if seed else cached,
+                           debug=debug and seed == 0)
         maes = []
         ok = True
         for proto, ts in zip(protos, ts_list):
@@ -312,6 +316,11 @@ def run_study_best_of(spec: SyntheticStudy, outdir: str, n_seeds: int = 4,
               f"{score if ok else float('inf'):.4f}")
         if score < best[0]:
             best = (score, params)
+    if best[1] is None:
+        raise RuntimeError(
+            f"run_study_best_of({spec.name}): no seed produced a finite "
+            f"whole-trace rollout across {n_seeds} seeds — refusing to save "
+            "an unusable model (try anchor_weight>0 or more seeds)")
     params = best[1]
     save_pytree(os.path.join(outdir, "model.npz"), params)
     save_model_bundle(os.path.join(outdir, "model-entire.npz"), params, spec)

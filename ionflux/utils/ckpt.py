@@ -59,19 +59,36 @@ def load_checkpoint(dirname: str, params_template, opt_template=None,
     return params, opt_state, meta["epoch"], meta["loss"]
 
 
+def _jsonable(v):
+    """Best-effort JSON form of a spec field (scalars, tuples, nested
+    dataclass-like constants); None for fields with no stable JSON form."""
+    if v is None or isinstance(v, (str, int, float, bool)):
+        return v
+    if isinstance(v, (tuple, list)):
+        out = [_jsonable(x) for x in v]
+        return out if all(x is not None for x in out) else None
+    if hasattr(v, "_asdict"):  # NamedTuple constants (registry params)
+        return {k: _jsonable(x) for k, x in v._asdict().items()}
+    if hasattr(v, "__dict__") and v.__dict__:
+        return {k: _jsonable(x) for k, x in v.__dict__.items()}
+    try:
+        return float(v)  # numpy host scalars
+    except (TypeError, ValueError):
+        return None
+
+
 def save_model_bundle(path: str, params, spec=None) -> None:
     """Self-describing model bundle — the `model-entire.pt` analogue
     (train-s1.py:947-949): one .npz of the params pytree plus a JSON sidecar
-    with the study spec (model kind, architecture, constants), so a model
-    can be reloaded without knowing its construction site."""
+    with the study spec (model kind, architecture, nested constants), so a
+    model can be reloaded without knowing its construction site.  Fields
+    with no JSON form are recorded as null."""
     save_pytree(path, params)
     meta = {}
     if spec is not None:
         for k, v in getattr(spec, "__dict__", {}).items():
-            if isinstance(v, (str, int, float, bool)):
-                meta[k] = v
-            elif isinstance(v, tuple):
-                meta[k] = [float(x) for x in v]
-    with open(path.replace(".npz", "") + ".spec.json", "w") as fh:
+            meta[k] = _jsonable(v)
+    stem = path[:-4] if path.endswith(".npz") else path
+    with open(stem + ".spec.json", "w") as fh:
         json.dump({"params_file": os.path.basename(path), **meta}, fh,
                   indent=1)

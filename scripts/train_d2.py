@@ -21,4 +21,4 @@ else:
     # anchored training is stable for every seed; keep the validation-best
     # of a small ensemble (replaces the reference's single lucky torch draw)
     run_study_best_of(D2, OUT, n_seeds=4, iters=args.iters,
-                      cached=args.cached)
+                      cached=args.cached, debug=args.debug)

@@ -20,9 +20,13 @@ import subprocess
 import sys
 
 # the axon tunnel can hang jax.devices() in-process — bounded probe first
-_probe = subprocess.run(
-    [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
-    capture_output=True, text=True, timeout=120)
+try:
+    _probe = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; print(jax.devices()[0].platform)"],
+        capture_output=True, text=True, timeout=120)
+except subprocess.TimeoutExpired:
+    pytest.skip("TPU probe timed out (tunnel hung)", allow_module_level=True)
 if _probe.returncode != 0 or "cpu" in _probe.stdout:
     pytest.skip("no TPU device reachable", allow_module_level=True)
 
