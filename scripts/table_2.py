@@ -8,8 +8,11 @@ the r1 surface, Pr4 from the r1-bad surface.  Those columns therefore score
 against the reference's own smoothed recordings at ~90% of samples (the cap-
 transient spikes the reference's full-resolution MAEs include are absent, so
 values sit slightly below table-2/table-2.txt).  Sinusoidal/APs measured
-currents are unrecoverable; those columns report agreement with the
-reference's archived checkpoints on the reconstructed protocols, marked (+).
+currents are unrecoverable; those columns (marked +) score each model's
+simulation against the reference's archived simulated trace for the same
+model family (table-2/y{o,1,2}-{sinewave,aps}.pt, cached by
+table-2.py:398-419) — direct solver/protocol parity in --oracle mode,
+retrained-vs-archived-model agreement otherwise.
 
 Default rows: our retrained best checkpoints (out/r1, out/r2).
 --oracle: the reference's archived checkpoints (r1/best-model-checkpoint-2,
@@ -85,19 +88,19 @@ meas4 = recover_measurements(f"{REFDIR}/r1-bad", CELL5_R1BAD, HH_R1BAD_INIT,
 MEAS = {"pr3": meas35["pr3"], "pr5": meas35["pr5"], "pr4": meas4["pr4"]}
 
 r1_params, r2_params = reference_models() if args.oracle else our_models()
-r1_ref, r2_ref = reference_models()
 
-# rows: (label, kind, params, constants); table-2.py:32-37: Mo uses (g, E),
-# NN-f (1.2g, E-5), NN-d (1.2g, E)
+# rows: (label, kind, params, constants, stored-trace tag); table-2.py:32-37:
+# Mo uses (g, E), NN-f (1.2g, E-5), NN-d (1.2g, E); table-2.py:398-419 caches
+# each model's simulated sinewave/APs currents as y{o,1,2}-{sinewave,aps}.pt
 ROWS = [
-    ("Original", "hh", HH_CELL5_FIT, CELL5_RAW, None),
-    ("NN-f", "nnf", r1_params, CELL5_R1, ("nnf", r1_ref)),
-    ("NN-d", "nnd", r2_params, CELL5_R2, ("nnd", r2_ref)),
+    ("Original", "hh", HH_CELL5_FIT, CELL5_RAW, "yo"),
+    ("NN-f", "nnf", r1_params, CELL5_R1, "y1"),
+    ("NN-d", "nnd", r2_params, CELL5_R2, "y2"),
 ]
 
 COLS = ["Pr3", "Pr5", "Pr4", "Sinusoidal (+)", "APs (+)"]
 rows_out = {}
-for label, kind, params, c, ref in ROWS:
+for label, kind, params, c, tag in ROWS:
     vals = []
     # measured columns
     for name in ("pr3", "pr5", "pr4"):
@@ -112,27 +115,28 @@ for label, kind, params, c, ref in ROWS:
         mae = float(np.mean(np.abs(i[idx] - np.asarray(i_meas))))
         vals.append(mae)
         print(f"{name} ({label}) | Total Loss {mae:.6f}")
-    # prediction columns vs the reference checkpoint's own simulation
-    for name in ("sinewave-cell5", "aps-cell5"):
-        if ref is None or args.oracle:  # trivially zero in oracle mode
-            vals.append(float("nan"))
-            continue
-        rkind, rparams = ref
-        v, dt = protorec.load_voltage(name)
-        ts = jnp.asarray(np.arange(len(v)) * dt, jnp.float32)
-        ours_i = gate_current(solve_states_real(kind, params, name),
-                              jnp.asarray(v, jnp.float32), c)
-        ref_i = gate_current(solve_states_real(rkind, rparams, name),
-                             jnp.asarray(v, jnp.float32), c)
-        mae = float(jnp.mean(jnp.abs(ours_i - ref_i)))
+    # prediction columns vs the reference's archived simulated traces
+    # (table-2/y{o,1,2}-{sinewave,aps}.pt; the measured currents themselves
+    # are not recoverable, SURVEY.md §1.1) — in --oracle mode this is direct
+    # solver+protocol parity, default mode scores the retrained model's
+    # agreement with the archived reference predictions
+    for name in ("sinewave", "aps"):
+        ref_i = np.asarray(
+            pt_load(f"{REFDIR}/table-2/{tag}-{name}.pt")).reshape(-1)
+        v, dt = protorec.load_voltage(f"{name}-cell5")
+        ours_i = gate_current(
+            solve_states_real(kind, params, f"{name}-cell5"),
+            jnp.asarray(v, jnp.float32), c)
+        mae = float(np.mean(np.abs(np.asarray(ours_i, np.float64) - ref_i)))
         vals.append(mae)
-        print(f"{name} ({label}) vs ref ckpt | {mae:.6f}")
+        print(f"{name} ({label}) vs stored {tag}-{name}.pt | {mae:.6f}")
     rows_out[label] = vals
 
 suffix = "-oracle" if args.oracle else ""
 latex_table(
     os.path.join(OUT, f"table-2{suffix}.txt"), COLS, rows_out,
     caption="real cell-5 MAE (nA) at capacitance-masked samples vs the "
-            "recovered smoothed measurements; (+) columns: agreement with "
-            "the reference's archived checkpoint on the reconstructed "
-            "protocol (measured currents not recoverable)")
+            "recovered smoothed measurements; (+) columns: MAE vs the "
+            "reference's archived simulated trace for the same model "
+            "family (table-2/y*-{sinewave,aps}.pt; measured currents not "
+            "recoverable)")
