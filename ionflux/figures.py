@@ -311,6 +311,84 @@ def fit_composition_cols(path, columns, ds=20, figsize=(11, 5)):
     print(f"wrote {path}")
 
 
+def fit_composition_permodel_zoom(path, t, v, data, preds, zoom, zoom_ylim,
+                                  facecolor, ylim=None, ds=20,
+                                  figsize=(11, 5)):
+    """The figure-4-s layout (reference figure-4-s.py:472-615): ONE protocol
+    column — voltage panel over current panel over a row of per-model zoom
+    panels, all sharing the same zoom window, each overlaying the data with
+    a single model's prediction.  Arrow scale-bars on the first zoom only.
+
+    v/data/preds rows: [n_sweeps, T]; zoom=(t0, t1); zoom_ylim=(y0, y1).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    _sns_theme(plt)
+    plt.rcParams["axes.facecolor"] = "#E4EDE4"  # figure-4-s.py:14
+    fig = plt.figure(figsize=figsize)
+    # grid constants from figure-4-s.py:475-488
+    grid = plt.GridSpec(4 + 1 + 7 + 5 + 14, 3, hspace=0.0, wspace=0.0)
+    axv = fig.add_subplot(grid[:4, :3])
+    axc = fig.add_subplot(grid[5:12, :3])
+    plot_sweep_panels(axv, axc, t, v, data, preds, ds)
+    axv.set_ylabel("Voltage\n(mV)", fontsize=12)
+    axc.set_ylabel("Current\n(nA)", fontsize=12)
+    axc.set_xlabel("Time (ms)", fontsize=12)
+    if ylim is not None:
+        axc.set_ylim(list(ylim))
+
+    t0, t1 = zoom
+    y0, y1 = zoom_ylim
+    i0, i1 = int(np.searchsorted(t, t0)), int(np.searchsorted(t, t1))
+    tt = t[i0:i1:ds]
+    from matplotlib.path import Path as MplPath
+    from matplotlib.patches import PathPatch
+
+    codes = [MplPath.MOVETO] + [MplPath.LINETO] * 3 + [MplPath.CLOSEPOLY]
+    verts = np.array([(tt[0], y0), (tt[0], y1), (tt[-1], y1), (tt[-1], y0),
+                      (0, 0)], float)
+    axc.add_patch(PathPatch(MplPath(verts, codes), facecolor=facecolor,
+                            edgecolor=facecolor, alpha=0.25))
+    for im, (label, y) in enumerate(preds.items()):
+        axz = fig.add_subplot(grid[-14:, im:im + 1])
+        fmt, color = MODEL_STYLES.get(label, ("--", "C3"))
+        for i in range(data.shape[0]):
+            axz.plot(tt, data[i][i0:i1:ds], c="#7f7f7f")
+            axz.plot(tt, y[i][i0:i1:ds], fmt, c=color, lw=1.0)
+        axz.set_xlim([tt[0], tt[-1]])
+        axz.set_ylim([y0, y1])
+        axz.set_xticks([])
+        axz.set_yticks([])
+        axz.set_xticklabels([])
+        axz.set_yticklabels([])
+        axz.add_patch(PathPatch(MplPath(verts, codes), facecolor=facecolor,
+                                edgecolor=None, alpha=0.25))
+        if im == 0:
+            axz.set_ylabel("Zoom in", fontsize=12)
+            for (x, yy, dx, dy) in [(1, -0.05, -1, 0), (0, -0.05, 1, 0)]:
+                axz.arrow(x, yy, dx, dy, length_includes_head=True,
+                          head_width=0.03, head_length=0.05, clip_on=False,
+                          fc="k", ec="k", transform=axz.transAxes)
+            axz.text(0.5, -0.15, "%s ms" % np.around(t1 - t0, decimals=0),
+                     transform=axz.transAxes, ha="center", va="center")
+            for (x, yy, dx, dy) in [(-0.05, 1, 0, -1), (-0.05, 0, 0, 1)]:
+                axz.arrow(x, yy, dx, dy, length_includes_head=True,
+                          head_width=0.03, head_length=0.05, clip_on=False,
+                          fc="k", ec="k", transform=axz.transAxes)
+            axz.text(-0.15, 0.5, "%s nA" % np.around(y1 - y0, decimals=1),
+                     rotation=90, transform=axz.transAxes, ha="center",
+                     va="center")
+    axc.legend(loc="lower left", bbox_to_anchor=(0.0, 1.7), ncol=4,
+               columnspacing=4, bbox_transform=axc.transAxes)
+    fig.align_ylabels([axv, axc])
+    fig.savefig(path, pad_inches=0.02, dpi=300, bbox_inches="tight")
+    plt.close(fig)
+    print(f"wrote {path}")
+
+
 def fit_composition_rows(path, top_columns, rows, ds=20, figsize=(11, 13.5)):
     """The figure-3 layout: a top row of sweep columns plus stacked
     full-width single-trace rows, each with its own zoom row
