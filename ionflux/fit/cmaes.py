@@ -155,25 +155,46 @@ def cmaes(
                        evaluations=evals, history=history)
 
 
-def shard_objective(mesh, per_member_fn: Callable, popsize: int,
-                    n_params: int):
+def shard_objective(mesh, per_member_fn: Callable | None = None,
+                    popsize: int = 0, n_params: int = 0,
+                    batch_fn: Callable | None = None):
     """Distribute a population objective across a device mesh.
 
-    per_member_fn: (params [n_params]) -> scalar loss, jittable.  Members are
-    sharded along the mesh's first axis (the TPU-native replacement for the
-    reference's pints ``set_parallel(True)`` multiprocessing,
-    train-d0.py:538); each device evaluates its shard, results gather back.
-    popsize must divide evenly by the axis size (pad at call sites).
+    Members are sharded along the mesh's first axis (the TPU-native
+    replacement for the reference's pints ``set_parallel(True)``
+    multiprocessing, train-d0.py:538); each device evaluates its shard and
+    results gather back.  popsize must divide evenly by the axis size (pad
+    at call sites).
+
+    Two evaluation forms:
+    - per_member_fn: (params [n_params]) -> scalar loss, jittable; vmapped
+      then GSPMD-sharded.
+    - batch_fn: (params [B, n_params]) -> [B] losses — a population-batched
+      objective such as the d0-style lockstep ``odeint_batched`` trace SSE
+      (scripts/train_d0.py make_objective); run via shard_map so each device
+      shard drives the batched-lane solver on its local lanes.  This is the
+      path the framework ships for distributed CMA-ES.
     """
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as Ps
 
     axis = mesh.axis_names[0]
-    fn = jax.jit(
-        jax.vmap(per_member_fn),
-        in_shardings=NamedSharding(mesh, Ps(axis, None)),
-        out_shardings=NamedSharding(mesh, Ps(axis)),
-    )
+    if (per_member_fn is None) == (batch_fn is None):
+        raise ValueError("pass exactly one of per_member_fn / batch_fn")
+    if popsize % mesh.devices.shape[0]:
+        raise ValueError(
+            f"popsize {popsize} must divide by the '{axis}' axis size "
+            f"{mesh.devices.shape[0]}")
+    if batch_fn is not None:
+        fn = jax.jit(jax.shard_map(
+            batch_fn, mesh=mesh, in_specs=(Ps(axis, None),),
+            out_specs=Ps(axis), check_vma=False))
+    else:
+        fn = jax.jit(
+            jax.vmap(per_member_fn),
+            in_shardings=NamedSharding(mesh, Ps(axis, None)),
+            out_shardings=NamedSharding(mesh, Ps(axis)),
+        )
 
     def objective(xs: np.ndarray) -> np.ndarray:
         n = xs.shape[0]

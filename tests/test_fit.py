@@ -138,3 +138,29 @@ def test_cmaes_with_sharded_objective():
     res = cmaes(objective, opt * 2.0, 0.1 * opt * 2.0, popsize=8,
                 bounds=(opt * 0.01, opt * 100.0), seed=0)
     np.testing.assert_allclose(res.x, opt, rtol=1e-3)
+
+
+def test_shard_objective_batch_fn_matches_local():
+    """The batch_fn (population-batched, odeint_batched-style) form of
+    shard_objective must return exactly what the un-sharded batch evaluation
+    returns — each device shard sees only its local lanes."""
+    import jax as _jax
+
+    if len(_jax.devices()) < 8:
+        import pytest as _pytest
+
+        _pytest.skip("needs the 8-device CPU mesh")
+    from ionflux.fit.cmaes import shard_objective
+    from ionflux.parallel import make_mesh
+
+    mesh = make_mesh(8, ("pop",))
+
+    def batch_fn(xs):  # [B, 4] -> [B]
+        return jnp.sum(xs ** 2, axis=1) + 0.5 * xs[:, 0]
+
+    objective = shard_objective(mesh, batch_fn=batch_fn, popsize=16,
+                                n_params=4)
+    xs = np.random.RandomState(0).randn(11, 4).astype(np.float32)
+    got = objective(xs)
+    want = np.asarray(batch_fn(jnp.asarray(xs)), np.float64)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
