@@ -245,6 +245,11 @@ def prediction_cases():
 
             rows.append((f"{name} (ap-cell-5 waveform)", None,
                          protorec.protocol("aps-cell5"), tsj))
+        elif fname == "staircase.csv":
+            # parametric reconstruction of the published staircase-ramp
+            # (protocols.staircase_protocol; archived s1/d1 staircase MAEs
+            # reproduced to 0.8%/1.6%)
+            rows.append((name, None, P.staircase_protocol(), tsj))
         else:
             print(f"{name}: protocol file {fname} not in mount, skipped")
     fams = [
@@ -270,8 +275,11 @@ def predict_study(spec: SyntheticStudy, params):
     canonical-shape compiled solve per model."""
     rows = prediction_cases()
     cases = [(proto, ts) for _, _, proto, ts in rows]
-    truths = simulate_cases(spec.gt_kind, spec.gt, cases, SYNTHETIC)
-    preds = simulate_cases(spec.model_kind, params, cases, SYNTHETIC)
+    # buffer sized for the longest case (the 15.5 s staircase's accepted
+    # steps exceed the default 4096 dense-output slots)
+    kw = dict(max_steps=400_000, buffer_size=16384)
+    truths = simulate_cases(spec.gt_kind, spec.gt, cases, SYNTHETIC, **kw)
+    preds = simulate_cases(spec.model_kind, params, cases, SYNTHETIC, **kw)
     out = {}
     for (label, header, _, _), t_, p_ in zip(rows, truths, preds):
         if header:

@@ -89,3 +89,21 @@ def test_atau_validation_maes(nnf):
     ts = jnp.linspace(0.0, 5000.0, 5001, dtype=jnp.float32)
     got = family_maes(nnf, P.atau_family(dt_ms=1.0), ts)
     np.testing.assert_allclose(got, LOG2_ATAU, atol=TOL)
+
+
+def test_staircase_reconstruction_mae(nnf):
+    """The staircase protocol is reconstructed parametrically
+    (protocols.staircase_protocol — the published Lei et al. 2019 form
+    validated against s1/999-staircase.png); the archived s1 NN-f weights
+    must reproduce the logged staircase MAE (s1/log2:7, computed vs the
+    CLEAN ground truth — train-s1.py prints the loss before adding the
+    plot noise at line 417)."""
+    proto = P.staircase_protocol()
+    ts = jnp.asarray(np.linspace(0.0, 15000.0, 7501), jnp.float32)
+    kw = dict(rtol=1e-6, atol=1e-8, max_steps=400_000, buffer_size=16384)
+    yt = odeint(rhs_gt, Y0, ts, (HH_B06, proto), **kw)
+    yp = odeint(rhs_nn, Y0, ts, (nnf, proto), **kw)
+    v = P.voltage(proto, ts)
+    got = float(mae(gate_current(yp, v, SYNTHETIC),
+                    gate_current(yt, v, SYNTHETIC)))
+    assert abs(got - 0.218293) / 0.218293 < 0.02, got
