@@ -52,7 +52,16 @@ def sinewave_voltage(t: np.ndarray) -> np.ndarray:
     return v
 
 
-def measure_tpu(force_cpu: bool = False) -> float:
+# TPU v5e single-chip peak: 197 TFLOP/s bf16 MXU (the marketed number; our
+# solver math is f32, which the MXU runs at a fraction of bf16 peak, so the
+# bf16-peak MFU below is a strict lower bound on utilization)
+PEAK_BF16_FLOPS = 197e12
+# MLP 2 -> 200x6 -> 1 matmul FLOPs per RHS eval per lane (2mn per layer)
+FLOPS_PER_EVAL_PER_LANE = 2 * (2 * 200 + 5 * 200 * 200 + 200 * 1)
+EVALS_PER_STEP = 6  # dopri5: 6 new RHS evals per step attempt (FSAL)
+
+
+def measure_tpu(force_cpu: bool = False) -> dict:
     import jax
 
     if force_cpu:
@@ -98,22 +107,69 @@ def measure_tpu(force_cpu: bool = False) -> float:
         drdt = -k3 * y[:, 1] + k4 * (1.0 - y[:, 1])
         return jnp.stack([dadt, drdt], axis=-1)
 
-    y0b = jnp.tile(jnp.array([0.0, 1.0], jnp.float32), (BATCH, 1))
-    batched = jax.jit(lambda nets: odeint_batched(
-        rhs, y0b, ts, (nets, proto), rtol=1e-5, atol=1e-7, buffer_size=4096))
-    out = batched(pop_net)
-    out.block_until_ready()  # compile + warmup
-    assert bool(jax.numpy.all(jax.numpy.isfinite(out))), "solve diverged"
+    def tile_pop(b):
+        """Grow the 32-member population to b lanes by tiling (keeps lane
+        dynamics identical so the lockstep step count stays comparable)."""
+        reps = (b + BATCH - 1) // BATCH
+        return jax.tree.map(
+            lambda w: jnp.concatenate([w] * reps, axis=0)[:b], pop_net)
 
-    n_rep = 5
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        out = batched(pop_net)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_rep
-    solves_per_sec = BATCH / dt
-    log(f"tpu: {BATCH} solves in {dt*1e3:.1f} ms -> {solves_per_sec:.2f} solves/s")
-    return solves_per_sec
+    def bench_batch(b):
+        y0b = jnp.tile(jnp.array([0.0, 1.0], jnp.float32), (b, 1))
+        pop_b = tile_pop(b)
+        batched = jax.jit(lambda nets: odeint_batched(
+            rhs, y0b, ts, (nets, proto), rtol=1e-5, atol=1e-7,
+            buffer_size=4096))
+        out = batched(pop_b)
+        out.block_until_ready()  # compile + warmup
+        assert bool(jax.numpy.all(jax.numpy.isfinite(out))), "solve diverged"
+        n_rep = 3 if b > 64 else 5
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            out = batched(pop_b)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / n_rep
+        sps = b / dt
+        log(f"batch {b}: {b} solves in {dt*1e3:.1f} ms -> {sps:.2f} solves/s")
+        return sps, dt, pop_b, y0b
+
+    # batch-scaling probe: the lockstep solve is sequential over steps; more
+    # lanes per step is the single lever that fills the MXU (VERDICT r2 #6)
+    batches = [32] if force_cpu else [32, 64, 128, 256, 512]
+    scaling = []
+    best = None
+    for b in batches:
+        sps, dt, pop_b, y0b = bench_batch(b)
+        scaling.append({"batch": b, "solves_per_sec": round(sps, 1)})
+        if best is None or sps > best[0]:
+            best = (sps, dt, b, pop_b, y0b)
+
+    sps, dt, b, pop_b, y0b = best
+    # roofline accounting at the best batch: count step attempts once
+    _, st = odeint_batched(rhs, y0b, ts, (pop_b, proto), rtol=1e-5,
+                           atol=1e-7, buffer_size=4096, return_stats=True)
+    n_steps = int(np.max(np.asarray(st.n_steps)))
+    flops = n_steps * EVALS_PER_STEP * b * FLOPS_PER_EVAL_PER_LANE
+    achieved = flops / dt
+    mfu = achieved / PEAK_BF16_FLOPS
+    us_per_step = dt / n_steps * 1e6
+    mxu_us = (EVALS_PER_STEP * b * FLOPS_PER_EVAL_PER_LANE
+              / PEAK_BF16_FLOPS * 1e6)
+    bound = (f"sequential-step dispatch/latency-bound: {us_per_step:.1f} "
+             f"us/step wall vs {mxu_us:.2f} us of MXU work per step "
+             f"(batch={b} lanes)")
+    log(f"best: batch {b} -> {sps:.2f} solves/s | {n_steps} step attempts "
+        f"| {achieved/1e9:.1f} GFLOP/s | MFU {mfu*100:.3f}% of bf16 peak")
+    log(f"bound: {bound}")
+    return {
+        "solves_per_sec": sps,
+        "batch": b,
+        "steps_per_solve": n_steps,
+        "achieved_gflops": round(achieved / 1e9, 2),
+        "mfu_bf16_peak": round(mfu, 5),
+        "bound": bound,
+        "scaling": scaling,
+    }
 
 
 def measure_torch_cpu_baseline() -> float:
@@ -241,7 +297,11 @@ def _run_measure_subprocess(backend: str, timeout_s: float):
         tail = (res.stderr or "").strip().splitlines()[-1:] or ["no stderr"]
         return None, f"{backend} measurement rc={res.returncode}: {tail[0]}"
     try:
-        return float(res.stdout.strip().splitlines()[-1]), None
+        last = res.stdout.strip().splitlines()[-1]
+        rec = json.loads(last)
+        if isinstance(rec, dict):
+            return rec, None
+        return {"solves_per_sec": float(rec)}, None
     except (ValueError, IndexError):
         return None, f"{backend} measurement produced no parseable value"
 
@@ -305,25 +365,27 @@ def main():
 
     if probe_ok:
         tmo = max(120.0, remaining() - cpu_reserve)
-        sps, err = _run_measure_subprocess("tpu", tmo)
-        if sps is None:
+        rec, err = _run_measure_subprocess("tpu", tmo)
+        if rec is None:
             errors.append(err)
             log(f"bench attempt failed: {err}")
             retry_tmo = remaining() - cpu_reserve
             if retry_tmo > 120.0:
-                sps, err = _run_measure_subprocess("tpu", retry_tmo)
+                rec, err = _run_measure_subprocess("tpu", retry_tmo)
                 if err:
                     errors.append(err)
                     log(f"bench retry failed: {err}")
-        if sps is not None:
-            emit(sps, baseline)
+        if rec is not None:
+            emit(rec.pop("solves_per_sec"), baseline, **rec)
             return
     else:
         log("bench: TPU backend unreachable, falling back to CPU")
 
-    sps, err = _run_measure_subprocess("cpu", max(60.0, remaining()))
-    if sps is not None:
-        emit(sps, baseline, backend="cpu-fallback", error="; ".join(errors))
+    rec, err = _run_measure_subprocess("cpu", max(60.0, remaining()))
+    if rec is not None:
+        emit(rec.pop("solves_per_sec"), baseline, backend="cpu-fallback",
+             error="; ".join(errors), **{k: v for k, v in rec.items()
+                                         if k in ("batch", "scaling")})
         return
     errors.append(err)
     emit(None, baseline, error="; ".join(errors))
@@ -351,7 +413,7 @@ if __name__ == "__main__":
         dry_run()
     elif "--measure" in sys.argv:
         backend = sys.argv[sys.argv.index("--measure") + 1]
-        sps = measure_tpu(force_cpu=(backend == "cpu"))
-        print(f"{sps:.6f}", flush=True)
+        rec = measure_tpu(force_cpu=(backend == "cpu"))
+        print(json.dumps(rec), flush=True)
     else:
         main()
