@@ -114,12 +114,19 @@ def measure_tpu(force_cpu: bool = False) -> dict:
         return jax.tree.map(
             lambda w: jnp.concatenate([w] * reps, axis=0)[:b], pop_net)
 
-    def bench_batch(b):
+    from ionflux.solver import odeint_batched_chunked
+
+    def bench_batch(b, max_lanes=None):
         y0b = jnp.tile(jnp.array([0.0, 1.0], jnp.float32), (b, 1))
         pop_b = tile_pop(b)
-        batched = jax.jit(lambda nets: odeint_batched(
-            rhs, y0b, ts, (nets, proto), rtol=1e-5, atol=1e-7,
-            buffer_size=4096))
+        if max_lanes:
+            batched = jax.jit(lambda nets: odeint_batched_chunked(
+                rhs, y0b, ts, (nets, proto), max_lanes=max_lanes,
+                rtol=1e-5, atol=1e-7, buffer_size=4096))
+        else:
+            batched = jax.jit(lambda nets: odeint_batched(
+                rhs, y0b, ts, (nets, proto), rtol=1e-5, atol=1e-7,
+                buffer_size=4096))
         out = batched(pop_b)
         out.block_until_ready()  # compile + warmup
         assert bool(jax.numpy.all(jax.numpy.isfinite(out))), "solve diverged"
@@ -130,34 +137,47 @@ def measure_tpu(force_cpu: bool = False) -> dict:
         out.block_until_ready()
         dt = (time.perf_counter() - t0) / n_rep
         sps = b / dt
-        log(f"batch {b}: {b} solves in {dt*1e3:.1f} ms -> {sps:.2f} solves/s")
+        tag = f"batch {b}" + (f" (chunked {max_lanes})" if max_lanes else "")
+        log(f"{tag}: {b} solves in {dt*1e3:.1f} ms -> {sps:.2f} solves/s")
         return sps, dt, pop_b, y0b
 
     # batch-scaling probe: the lockstep solve is sequential over steps; more
-    # lanes per step is the single lever that fills the MXU (VERDICT r2 #6)
-    batches = [32] if force_cpu else [32, 64, 128, 256, 512]
+    # lanes per step is the lever that fills the MXU — until the per-lane
+    # weights spill VMEM past ~64 lanes, where the chunked solve
+    # (sequential 64-lane groups, solver/batched.py) keeps the sweet spot
+    # (VERDICT r2 #6)
+    cases = ([(32, None)] if force_cpu else
+             [(32, None), (64, None), (128, None), (256, None), (512, None),
+              (512, 64)])
     scaling = []
     best = None
-    for b in batches:
-        sps, dt, pop_b, y0b = bench_batch(b)
-        scaling.append({"batch": b, "solves_per_sec": round(sps, 1)})
+    for b, ml in cases:
+        sps, dt, pop_b, y0b = bench_batch(b, ml)
+        scaling.append({"batch": b, "max_lanes": ml,
+                        "solves_per_sec": round(sps, 1)})
         if best is None or sps > best[0]:
-            best = (sps, dt, b, pop_b, y0b)
+            best = (sps, dt, b, pop_b, y0b, ml)
 
-    sps, dt, b, pop_b, y0b = best
-    # roofline accounting at the best batch: count step attempts once
-    _, st = odeint_batched(rhs, y0b, ts, (pop_b, proto), rtol=1e-5,
-                           atol=1e-7, buffer_size=4096, return_stats=True)
+    sps, dt, b, pop_b, y0b, ml = best
+    # roofline accounting at the best config: count step attempts once;
+    # a chunked solve runs n_chunks sequential lockstep loops of lanes=ml
+    _, st = odeint_batched(rhs, y0b[:ml or b], ts,
+                           (jax.tree.map(lambda w: w[:ml or b], pop_b),
+                            proto), rtol=1e-5, atol=1e-7, buffer_size=4096,
+                           return_stats=True)
+    lanes = ml or b
+    n_chunks = -(-b // lanes)
     n_steps = int(np.max(np.asarray(st.n_steps)))
-    flops = n_steps * EVALS_PER_STEP * b * FLOPS_PER_EVAL_PER_LANE
+    seq_steps = n_steps * n_chunks
+    flops = seq_steps * EVALS_PER_STEP * lanes * FLOPS_PER_EVAL_PER_LANE
     achieved = flops / dt
     mfu = achieved / PEAK_BF16_FLOPS
-    us_per_step = dt / n_steps * 1e6
-    mxu_us = (EVALS_PER_STEP * b * FLOPS_PER_EVAL_PER_LANE
+    us_per_step = dt / seq_steps * 1e6
+    mxu_us = (EVALS_PER_STEP * lanes * FLOPS_PER_EVAL_PER_LANE
               / PEAK_BF16_FLOPS * 1e6)
     bound = (f"sequential-step dispatch/latency-bound: {us_per_step:.1f} "
              f"us/step wall vs {mxu_us:.2f} us of MXU work per step "
-             f"(batch={b} lanes)")
+             f"({lanes} lanes/step, {n_chunks} chunk(s))")
     log(f"best: batch {b} -> {sps:.2f} solves/s | {n_steps} step attempts "
         f"| {achieved/1e9:.1f} GFLOP/s | MFU {mfu*100:.3f}% of bf16 peak")
     log(f"bound: {bound}")

@@ -3,7 +3,9 @@ from ionflux.solver.fixed import odeint_rk4
 from ionflux.solver.chained import odeint_chained
 from ionflux.solver.adams import odeint_adams
 from ionflux.solver.adjoint import odeint_adjoint
-from ionflux.solver.batched import odeint_batched
+from ionflux.solver.batched import (odeint_batched,
+                                    odeint_batched_chunked)
 
 __all__ = ["odeint", "odeint_rk4", "odeint_chained", "odeint_adams",
-           "odeint_adjoint", "odeint_batched", "SolveStats"]
+           "odeint_adjoint", "odeint_batched",
+           "odeint_batched_chunked", "SolveStats"]

@@ -213,3 +213,40 @@ def test_batched_lane_solver_isolates_poisoned_lane():
         ref = odeint(hh_proto_rhs, jnp.array([0.0, 1.0], jnp.float32), ts,
                      (params, proto), rtol=1e-5, atol=1e-7)
         assert float(jnp.max(jnp.abs(ys[m] - ref))) < 2e-3
+
+
+def test_chunked_batched_solver_matches_unchunked():
+    """odeint_batched_chunked must reproduce the unchunked solve exactly
+    per lane (chunking only regroups lanes; each chunk's lockstep
+    controller sees identical dynamics when the population is tiled)."""
+    from ionflux.solver import odeint_batched, odeint_batched_chunked
+
+    proto = P.activation_protocol(20.0, dt_ms=1.0)
+    ts = jnp.linspace(0.0, 2000.0, 41, dtype=jnp.float32)
+    b = 10
+    pops = jnp.stack([
+        jnp.array([float(x) * (1.0 + 0.01 * i) for x in HH_B06], jnp.float32)
+        for i in range(b)
+    ])
+
+    def rhs_b(t, y, args):
+        ps, pr = args
+        v = P.voltage(pr, t)
+        k1 = ps[:, 0] * jnp.exp(ps[:, 1] * v)
+        k2 = ps[:, 2] * jnp.exp(-ps[:, 3] * v)
+        k3 = ps[:, 4] * jnp.exp(ps[:, 5] * v)
+        k4 = ps[:, 6] * jnp.exp(-ps[:, 7] * v)
+        dadt = k1 * (1 - y[:, 0]) - k2 * y[:, 0]
+        drdt = -k3 * y[:, 1] + k4 * (1 - y[:, 1])
+        return jnp.stack([dadt, drdt], axis=-1)
+
+    y0b = jnp.tile(jnp.array([0.0, 1.0], jnp.float32), (b, 1))
+    ref = odeint_batched(rhs_b, y0b, ts, (pops, proto), rtol=1e-6, atol=1e-8)
+    got, st = odeint_batched_chunked(rhs_b, y0b, ts, (pops, proto),
+                                     max_lanes=4, rtol=1e-6, atol=1e-8,
+                                     return_stats=True)
+    assert got.shape == ref.shape == (b, 41, 2)
+    assert bool(jnp.all(st.ok))
+    # chunks run their own lockstep controllers -> per-chunk step-sequence
+    # differences bounded by the solve tolerance
+    assert float(jnp.max(jnp.abs(got - ref))) < 1e-3
