@@ -159,6 +159,7 @@ def odeint_batched_chunked(
     *,
     max_lanes: int = 64,
     lane_leaf=None,
+    sort_lanes: bool = False,
     **kw,
 ):
     """odeint_batched for large populations: split the B lanes into
@@ -169,6 +170,14 @@ def odeint_batched_chunked(
     eval restreams the weights from HBM and throughput collapses (measured:
     604 solves/s at b=64 vs 129 at b=512 unchunked — bench.py scaling
     probe).  Chunking keeps each solve at the VMEM sweet spot.
+
+    sort_lanes=True additionally orders lanes by a per-lane stiffness proxy
+    (the error-weighted |f(t0, y0)| that drives the initial step size)
+    before chunking, so a heterogeneous population — e.g. a CMA-ES
+    generation spanning decades of rate constants — groups similarly-stiff
+    members per chunk: each lockstep controller only slows for its own
+    chunk's stiffest lane instead of every chunk dragging at the global
+    minimum step.  Results are returned in the caller's lane order.
 
     Lane-carrying leaves of ``args`` are auto-detected as arrays whose
     leading dimension equals B (override with ``lane_leaf``, a predicate
@@ -184,6 +193,19 @@ def odeint_batched_chunked(
                     and x.shape[0] == b)
     n_chunks = -(-b // max_lanes)
     pad = n_chunks * max_lanes - b
+
+    inv = None
+    if sort_lanes:
+        rtol = kw.get("rtol", 1e-6)
+        atol = kw.get("atol", 1e-8)
+        f0 = fn(ts[0], y0, args)
+        scale = atol + rtol * jnp.abs(y0)
+        stiff = jnp.sqrt(jnp.mean(jnp.square(f0 / scale), axis=-1))  # [B]
+        order = jnp.argsort(stiff)
+        inv = jnp.argsort(order)
+        y0 = y0[order]
+        args = jax.tree.map(
+            lambda x: jnp.asarray(x)[order] if lane_leaf(x) else x, args)
 
     def split(x):
         if not lane_leaf(x):
@@ -212,8 +234,11 @@ def odeint_batched_chunked(
     if return_stats:
         ys, st = outs
         ys = ys.reshape((n_chunks * max_lanes,) + ys.shape[2:])[:b]
-        st = SolveStats(ok=st.ok.reshape(-1)[:b],
-                        n_accepted=jnp.max(st.n_accepted),
-                        n_steps=jnp.max(st.n_steps))
+        ok = st.ok.reshape(-1)[:b]
+        if inv is not None:
+            ys, ok = ys[inv], ok[inv]
+        st = SolveStats(ok=ok, n_accepted=jnp.max(st.n_accepted),
+                        n_steps=jnp.sum(st.n_steps))
         return ys, st
-    return outs.reshape((n_chunks * max_lanes,) + outs.shape[2:])[:b]
+    ys = outs.reshape((n_chunks * max_lanes,) + outs.shape[2:])[:b]
+    return ys if inv is None else ys[inv]
