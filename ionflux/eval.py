@@ -25,6 +25,7 @@ from ionflux.models.registry import Constants
 from ionflux.observe import gate_current, mae, markov_current
 from ionflux.solver import odeint
 from ionflux.solver.adams import odeint_adams
+from ionflux.solver.vcabm import odeint_vcabm
 
 _RHS = {
     "hh": hh_rhs,
@@ -60,20 +61,29 @@ def default_y0(kind: str, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(np.array([0.0, 1.0]), dtype)
 
 
+# process-wide default solver method; scripts/common.setup points it at the
+# --method CLI flag (reference train-s1.py:21)
+DEFAULT_METHOD = "dopri5"
+
+
 def solve_states(kind: str, params, proto: P.Protocol, ts: jnp.ndarray,
-                 y0=None, rtol=1e-6, atol=1e-8, method: str = "dopri5", **kw):
+                 y0=None, rtol=1e-6, atol=1e-8, method: str | None = None,
+                 **kw):
+    if method is None:
+        method = DEFAULT_METHOD
     if y0 is None:
         y0 = default_y0(kind, ts.dtype)
-    solver = odeint_adams if method == "adams" else odeint
+    solver = {"adams": odeint_adams, "vcabm": odeint_vcabm}.get(
+        method, odeint)
     return solver(_model_rhs(kind), y0, ts, (params, proto),
                   rtol=rtol, atol=atol, **kw)
 
 
 def simulate(kind: str, params, proto: P.Protocol, ts: jnp.ndarray,
              c: Constants, y0=None, rtol=1e-6, atol=1e-8,
-             method: str = "dopri5", **kw) -> jnp.ndarray:
+             method: str | None = None, **kw) -> jnp.ndarray:
     """Observed current for any model family on a protocol
-    (method: 'dopri5' | 'adams', reference --method flag)."""
+    (method: 'dopri5' | 'adams' (ABM4) | 'vcabm' (variable-order 1-12), reference --method flag)."""
     ys = solve_states(kind, params, proto, ts, y0, rtol, atol, method, **kw)
     v = P.voltage(proto, ts)
     if kind == "markov":

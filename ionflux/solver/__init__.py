@@ -2,10 +2,11 @@ from ionflux.solver.dopri5 import odeint, SolveStats
 from ionflux.solver.fixed import odeint_rk4
 from ionflux.solver.chained import odeint_chained
 from ionflux.solver.adams import odeint_adams
+from ionflux.solver.vcabm import odeint_vcabm
 from ionflux.solver.adjoint import odeint_adjoint
 from ionflux.solver.batched import (odeint_batched,
                                     odeint_batched_chunked)
 
 __all__ = ["odeint", "odeint_rk4", "odeint_chained", "odeint_adams",
-           "odeint_adjoint", "odeint_batched",
+           "odeint_adjoint", "odeint_batched", "odeint_vcabm",
            "odeint_batched_chunked", "SolveStats"]

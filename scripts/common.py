@@ -14,7 +14,7 @@ import jax
 
 def study_parser(desc: str, real: bool = False) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(desc)
-    p.add_argument("--method", type=str, choices=["dopri5", "adams"],
+    p.add_argument("--method", type=str, choices=["dopri5", "adams", "vcabm"],
                    default="dopri5")
     p.add_argument("--adjoint", action="store_true")
     p.add_argument("--debug", action="store_true")
@@ -61,6 +61,11 @@ def setup(args, default_outdir: str) -> str:
             jax.config.update("jax_platforms", "cpu")
     if args.x64:
         jax.config.update("jax_enable_x64", True)
+    if getattr(args, "method", None) and args.method != "dopri5":
+        import ionflux.eval as _eval
+
+        _eval.DEFAULT_METHOD = args.method
+        print(f"solver method: {args.method}")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cache = os.path.join(repo, ".jax_cache")
     os.makedirs(cache, exist_ok=True)

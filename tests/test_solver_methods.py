@@ -295,3 +295,65 @@ def test_chunked_sort_lanes_restores_order_and_reduces_steps():
     # outright: the slow chunk no longer pays the stiff lanes' step size
     assert int(st_sorted.n_steps) < int(st_plain.n_steps), (
         int(st_sorted.n_steps), int(st_plain.n_steps))
+
+
+def test_vcabm_exponential_decay():
+    from ionflux.solver import odeint_vcabm
+
+    def rhs(t, y, a):
+        return -y
+
+    ts = jnp.linspace(0.0, 5.0, 11, dtype=jnp.float32)
+    ya, st = odeint_vcabm(rhs, jnp.array([1.0], jnp.float32), ts, None,
+                          return_stats=True)
+    assert bool(st.ok)
+    np.testing.assert_allclose(np.asarray(ya).ravel(),
+                               np.exp(-np.asarray(ts)), atol=1e-5)
+
+
+def test_vcabm_order_climbs_on_smooth_problem():
+    """The variable-order machinery must actually raise the order: on a
+    smooth oscillator the step count should at least match dopri5 despite
+    only ~2 RHS evals/step (dopri5 pays 6)."""
+    from ionflux.solver import odeint_vcabm
+
+    def osc(t, y, a):
+        return jnp.stack([y[1], -y[0]])
+
+    ts = jnp.linspace(0.0, 30.0, 61, dtype=jnp.float32)
+    y0 = jnp.array([1.0, 0.0], jnp.float32)
+    yv, st = odeint_vcabm(osc, y0, ts, None, rtol=1e-6, atol=1e-8,
+                          return_stats=True)
+    ref = jnp.stack([jnp.cos(ts), -jnp.sin(ts)], axis=-1)
+    assert bool(st.ok)
+    assert float(jnp.max(jnp.abs(yv - ref))) < 1e-4
+    yd, std = odeint(osc, y0, ts, None, rtol=1e-6, atol=1e-8,
+                     return_stats=True)
+    # 2 evals/step * steps must undercut dopri5's 6 evals/step
+    assert 2 * int(st.n_steps) < 6 * int(std.n_steps)
+
+
+def test_vcabm_matches_dopri5_on_step_protocol():
+    from ionflux.solver import odeint_vcabm
+
+    proto = P.activation_protocol(20.0)
+    ts = jnp.linspace(0.0, 8000.0, 801, dtype=jnp.float32)
+    y0 = jnp.array([0.0, 1.0], jnp.float32)
+    ref = odeint(hh_proto_rhs, y0, ts, (HH_B06, proto), rtol=1e-7, atol=1e-9)
+    ya, st = odeint_vcabm(hh_proto_rhs, y0, ts, (HH_B06, proto),
+                          rtol=1e-6, atol=1e-8, return_stats=True)
+    assert bool(st.ok)
+    assert float(jnp.max(jnp.abs(ya - ref))) < 1e-3
+
+
+def test_vcabm_blowup_sentinel():
+    from ionflux.solver import odeint_vcabm
+
+    def bad(t, y, a):
+        return 50.0 * (1.0 + y ** 2)  # finite-time blow-up
+
+    ts = jnp.linspace(0.0, 10.0, 21, dtype=jnp.float32)
+    ys, st = odeint_vcabm(bad, jnp.ones((1,), jnp.float32), ts, None,
+                          max_steps=20_000, return_stats=True)
+    assert not bool(st.ok)
+    assert not bool(jnp.isfinite(ys[-1]).all())
