@@ -255,3 +255,239 @@ def _dense_eval(rec_sc, rec_y, rec_k, n_acc, ts, b):
     ys = y0s + hs[:, None, None] * jnp.einsum("tj,tjsb->tsb", bpoly, kk)
     ys = jnp.transpose(ys, (2, 0, 1))                              # [B,T,2]
     return jnp.where(ok, ys, jnp.full_like(ys, jnp.inf))
+
+
+# ---------------------------------------------------------------------------
+# Fixed-trip (branchless) variant: Mosaic pipelines straight-line fori_loop
+# bodies at ~3 us/step where data-dependent while/cond stalls ~400x
+# (ROADMAP "Performance"; measured round 2).  The adaptive controller stays,
+# but as MASKED updates inside a fixed trip count: every iteration attempts
+# a step, acceptance only gates which registers advance, and every iteration
+# unconditionally writes the LAST-ACCEPTED interpolant record at its trip
+# index — so the record-time sequence is non-decreasing and phase 2 can
+# binary-search it exactly like the while-loop variant's accepted stream.
+# After t reaches t_end the controller creeps at the 1e-8 floor and the
+# remaining trips write idempotent end-state records.
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel_ft(n_layers: int, n_knots_padded: int, t0: float,
+                    dt_knot: float, t_end: float, rgate: tuple, rtol: float,
+                    atol: float, trips: int, b: int):
+    p5, p6, p7, p8 = rgate
+    inv_dt = 1.0 / dt_knot
+    A = [[float(x) for x in row] for row in _A]
+    C = [float(x) for x in _C]
+    BS = [float(x) for x in _B_SOL]
+    BE = [float(x) for x in _B_ERR]
+
+    def kernel(v_ref, *refs):
+        w_refs = refs[:n_layers]
+        b_refs = refs[n_layers:2 * n_layers]
+        rec_sc, rec_y, rec_k, n_out_ref = refs[2 * n_layers:2 * n_layers + 4]
+
+        def voltage(t):
+            x = (t - t0) * inv_dt
+            ii = jnp.clip(jnp.floor(x).astype(jnp.int32), 0,
+                          n_knots_padded - 130)
+            w = x - ii.astype(jnp.float32)
+            base = pl.multiple_of((ii // 128) * 128, 128)
+            off = ii - base
+            chunk = v_ref[:, pl.ds(base, 256)]                  # [B, 256]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+            v0 = jnp.sum(jnp.where(lane == off, chunk, 0.0), axis=1)
+            v1 = jnp.sum(jnp.where(lane == off + 1, chunk, 0.0), axis=1)
+            return v0 + w * (v1 - v0)                           # [B]
+
+        def mlp(x):
+            h = x
+            for wr, br in zip(w_refs[:-1], b_refs[:-1]):
+                h = jnp.dot(h, wr[...],
+                            preferred_element_type=jnp.float32) + br[...]
+                h = jnp.where(h >= 0, h, 0.01 * h)
+            return (jnp.dot(h, w_refs[-1][...],
+                            preferred_element_type=jnp.float32)
+                    + b_refs[-1][...])
+
+        def rhs(t, y):
+            v = voltage(t)
+            x = jnp.stack([v / VRANGE, y[:, 0]], axis=-1)
+            dadt = mlp(x)[:, 0] / NETSCALE
+            k3 = p5 * jnp.exp(p6 * v)
+            k4 = p7 * jnp.exp(-p8 * v)
+            drdt = -k3 * y[:, 1] + k4 * (1.0 - y[:, 1])
+            return jnp.stack([dadt, drdt], axis=-1)
+
+        y0 = jnp.concatenate(
+            [jnp.zeros((b, 1), jnp.float32), jnp.ones((b, 1), jnp.float32)],
+            axis=1)
+        f0 = rhs(jnp.float32(t0), y0)
+
+        def _pad_bt(arr):
+            at = arr.T  # [2, b]
+            pad = jnp.zeros((2, 128 - b), jnp.float32)
+            return jnp.concatenate([at, pad], axis=1)
+
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)[0]
+
+        def body(i, state):
+            (t, y, f, h, n_acc, t_la, h_la, y_la, ks_la) = state
+            h_eff = jnp.maximum(jnp.minimum(h, t_end - t), 1e-8)
+
+            ks = [f]
+            for si in range(1, 7):
+                yi = y
+                for sj in range(si):
+                    if A[si][sj] != 0.0:
+                        yi = yi + (h_eff * A[si][sj]) * ks[sj]
+                ks.append(rhs(t + C[si] * h_eff, yi))
+            y1 = y
+            err = jnp.zeros_like(y)
+            for sj in range(7):
+                if BS[sj] != 0.0:
+                    y1 = y1 + (h_eff * BS[sj]) * ks[sj]
+                if BE[sj] != 0.0:
+                    err = err + (h_eff * BE[sj]) * ks[sj]
+            scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
+            ratio = jnp.sqrt(jnp.max(jnp.mean((err / scale) ** 2, axis=-1)))
+            finite = jnp.all(jnp.isfinite(y1)) & jnp.isfinite(ratio)
+            accept = (ratio <= 1.0) & finite
+
+            # masked advance of the last-accepted interpolant
+            t_la = jnp.where(accept, t, t_la)
+            h_la = jnp.where(accept, h_eff, h_la)
+            y_la = jnp.where(accept, _pad_bt(y), y_la)
+            ks_new = jnp.stack([_pad_bt(k) for k in ks])       # [7, 2, 128]
+            ks_la = jnp.where(accept, ks_new, ks_la)
+
+            # unconditional record write at the trip index
+            sc = jnp.where(lane128 == 0, t_la,
+                           jnp.where(lane128 == 1, h_la, 0.0))
+            rec_sc[pl.ds(i, 1), :] = sc[None]
+            rec_y[pl.ds(i, 1), :, :] = y_la[None]
+            rec_k[pl.ds(i, 1), :, :, :] = ks_la[None]
+
+            t = jnp.where(accept, t + h_eff, t)
+            y = jnp.where(accept, y1, y)
+            f = jnp.where(accept, ks[6], f)
+            n_acc = n_acc + accept.astype(jnp.int32)
+            factor = _SAFETY * jnp.exp(
+                -0.2 * jnp.log(jnp.maximum(ratio, 1e-10)))
+            factor = jnp.where(jnp.isfinite(factor), factor, _MINF)
+            h = h_eff * jnp.clip(factor, _MINF,
+                                 jnp.where(accept, _MAXF, 1.0))
+            return (t, y, f, h, n_acc, t_la, h_la, y_la, ks_la)
+
+        init = (jnp.float32(t0), y0, f0, jnp.float32(dt_knot * 10.0),
+                jnp.int32(0), jnp.float32(t0), jnp.float32(1e-8),
+                _pad_bt(y0), jnp.stack([_pad_bt(f0)] * 7))
+
+        # two-level loop: the inner fori block is straight-line (Mosaic
+        # pipelines it); the outer while adds ONE data-dependent check per
+        # block, so early exit costs its stall only once per `block` trips
+        block = 256
+        n_blocks = (trips + block - 1) // block
+
+        def blk_cond(state):
+            blk, st = state
+            t_, y_ = st[0], st[1]
+            return (blk < n_blocks) & (t_ < t_end) & jnp.all(
+                jnp.isfinite(y_))
+
+        def blk_body(state):
+            blk, st = state
+            base = blk * block
+
+            def inner(j, s):
+                return body(base + j, s)
+
+            st = jax.lax.fori_loop(0, block, inner, st)
+            return blk + 1, st
+
+        _blk, (t, y, f, h, n_acc, t_la, h_la, y_la, ks_la) = (
+            jax.lax.while_loop(blk_cond, blk_body, (jnp.int32(0), init)))
+        # records past the early-exit point hold stale garbage; phase 2
+        # masks them out via the valid-trip count
+        ok = (t >= t_end) & jnp.all(jnp.isfinite(y))
+        n_out_ref[0, 0] = jnp.where(ok, n_acc, -jnp.maximum(n_acc, 1))
+        n_out_ref[0, 1] = _blk * block
+
+    return kernel
+
+
+def fused_nnf_solve_ft(
+    net: Sequence,
+    rgate: HHParams,
+    protos_v: jnp.ndarray,          # [B, N] knot voltages (uniform grid)
+    ts: jnp.ndarray,                # [T] output times (ascending)
+    *,
+    proto_t0: float = 0.0,
+    proto_dt: float = 0.1,
+    t_end: float | None = None,
+    rtol: float = 1e-5,
+    atol: float = 1e-7,
+    trips: int = 3072,
+    interpret: bool = False,
+):
+    """Fixed-trip fused NN-f solve (see module tail comment).  ``trips``
+    must exceed the adaptive attempt count (ok=False and inf output
+    otherwise, like every other solver sentinel).  Returns ys [B, T, 2]."""
+    b, n = protos_v.shape
+    t_end = float(t_end) if t_end is not None else float(ts[-1])
+    n_pad = ((n + 127) // 128) * 128 + 256
+    vpad = jnp.concatenate(
+        [protos_v.astype(jnp.float32),
+         jnp.broadcast_to(protos_v[:, -1:].astype(jnp.float32),
+                          (b, n_pad - n))], axis=1)
+    ws = [w.astype(jnp.float32) for w, _ in net]
+    bs = [bb.astype(jnp.float32) for _, bb in net]
+
+    kernel = _make_kernel_ft(
+        len(ws), n_pad, float(proto_t0), float(proto_dt), t_end,
+        tuple(float(x) for x in (rgate.p5, rgate.p6, rgate.p7, rgate.p8)),
+        float(rtol), float(atol), int(trips), b)
+
+    rec_sc, rec_y, rec_k, n_acc = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((trips, 128), jnp.float32),
+            jax.ShapeDtypeStruct((trips, 2, 128), jnp.float32),
+            jax.ShapeDtypeStruct((trips, 7, 2, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + 2 * len(ws)),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=interpret,
+    )(vpad, *ws, *bs)
+
+    return _dense_eval_ft(rec_sc, rec_y, rec_k, n_acc[0, 0], n_acc[0, 1],
+                          ts.astype(jnp.float32), b)
+
+
+@partial(jax.jit, static_argnames=("b",))
+def _dense_eval_ft(rec_sc, rec_y, rec_k, n_acc, n_valid, ts, b):
+    """Phase 2 for the fixed-trip record stream: trip-indexed records hold
+    the last-accepted interpolant, so record times are non-decreasing and
+    the binary search lands on the interval containing each output time
+    (records past the early-exit block are masked to +inf)."""
+    ok = n_acc > 0
+    big = jnp.float32(3.4e38)
+    t_rec = jnp.where(jnp.arange(rec_sc.shape[0]) < n_valid,
+                      rec_sc[:, 0], big)
+    idx = jnp.clip(jnp.searchsorted(t_rec, ts, side="right") - 1, 0,
+                   rec_sc.shape[0] - 1)
+    t0s = rec_sc[idx, 0]
+    hs = jnp.maximum(rec_sc[idx, 1], 1e-20)
+    th = jnp.clip((ts - t0s) / hs, 0.0, 1.0)
+    tp = jnp.stack([th, th ** 2, th ** 3, th ** 4], axis=-1)
+    bpoly = tp @ jnp.asarray(_P_DENSE, jnp.float32).T              # [T, 7]
+    kk = rec_k[idx][..., :b]                                       # [T,7,2,B]
+    y0s = rec_y[idx][..., :b]                                      # [T,2,B]
+    ys = y0s + hs[:, None, None] * jnp.einsum("tj,tjsb->tsb", bpoly, kk)
+    ys = jnp.transpose(ys, (2, 0, 1))                              # [B,T,2]
+    return jnp.where(ok, ys, jnp.full_like(ys, jnp.inf))

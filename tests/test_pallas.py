@@ -56,3 +56,40 @@ def test_fused_nnf_adaptive_solve_matches_xla():
                                      rtol=1e-5, atol=1e-7))(protos)
     # shared lockstep controller picks different steps; both within tolerance
     assert float(jnp.max(jnp.abs(ys - ref))) < 2e-2
+
+
+def test_fused_nnf_fixed_trip_solve_matches_xla():
+    """The branchless fixed-trip variant (masked-accept fori blocks with a
+    coarse early-exit while): same adaptive semantics, Mosaic-pipelineable
+    body (ROADMAP 'branchless fixed-trip design')."""
+    from ionflux.ops.pallas_solve import fused_nnf_solve_ft
+
+    params = nnf_init(jax.random.PRNGKey(0), HH_B06, n_layers=1, n_nodes=16)
+    protos = P.stack([P.activation_protocol(v, dt_ms=1.0)
+                      for v in (-40.0, 20.0)])
+    ts = jnp.linspace(0.0, 8000.0, 161, dtype=jnp.float32)
+    ys = fused_nnf_solve_ft(params.net, HH_B06, protos.v, ts, proto_dt=1.0,
+                            trips=2048, interpret=True)
+    assert bool(jnp.all(jnp.isfinite(ys)))
+
+    def rhs(t, y, a):
+        return nnf_rhs(a[0], t, y, P.voltage(a[1], t))
+
+    y0 = jnp.array([0.0, 1.0], jnp.float32)
+    ref = jax.vmap(lambda pr: odeint(rhs, y0, ts, (params, pr),
+                                     rtol=1e-5, atol=1e-7))(protos)
+    assert float(jnp.max(jnp.abs(ys - ref))) < 2e-2
+
+
+def test_fused_nnf_fixed_trip_insufficient_trips_sentinel():
+    """When the trip capacity is below the adaptive attempt count the solve
+    must report failure as inf output, not silently truncate."""
+    from ionflux.ops.pallas_solve import fused_nnf_solve_ft
+
+    params = nnf_init(jax.random.PRNGKey(0), HH_B06, n_layers=1, n_nodes=16)
+    protos = P.stack([P.activation_protocol(v, dt_ms=1.0)
+                      for v in (-40.0, 20.0)])
+    ts = jnp.linspace(0.0, 8000.0, 161, dtype=jnp.float32)
+    ys = fused_nnf_solve_ft(params.net, HH_B06, protos.v, ts, proto_dt=1.0,
+                            trips=256, interpret=True)
+    assert not bool(jnp.isfinite(ys).all())

@@ -106,3 +106,30 @@ def test_fused_nnf_solve_mosaic_matches_xla():
                           atol=1e-7))(protos))
     # shared lockstep controller picks different steps; both within tol
     assert float(np.max(np.abs(ys - ref))) < 2e-2
+
+
+def test_fused_nnf_fixed_trip_mosaic_matches_xla():
+    """The branchless fixed-trip solve through real Mosaic (pipelines at
+    ~6 us/trip where the while-variant stalls)."""
+    from ionflux.models import nnf_init, nnf_rhs
+    from ionflux.ops.pallas_solve import fused_nnf_solve_ft
+
+    params = nnf_init(jax.random.PRNGKey(0), HH_B06, n_layers=5, n_nodes=200)
+    protos = P.stack([P.activation_protocol(v, dt_ms=1.0)
+                      for v in (-40.0, 20.0)])
+    ts = jnp.linspace(0.0, 8000.0, 161, dtype=jnp.float32)
+    with jax.default_device(tpu()):
+        ys = np.asarray(fused_nnf_solve_ft(params.net, HH_B06, protos.v, ts,
+                                           proto_dt=1.0, trips=4096,
+                                           t_end=8000.0, interpret=False))
+    assert ys.shape == (2, 161, 2)
+    assert np.isfinite(ys).all()
+
+    def rhs(t, y, a):
+        return nnf_rhs(a[0], t, y, P.voltage(a[1], t))
+
+    y0 = jnp.array([0.0, 1.0], jnp.float32)
+    ref = np.asarray(jax.vmap(
+        lambda pr: odeint(rhs, y0, ts, (params, pr), rtol=1e-5,
+                          atol=1e-7))(protos))
+    assert float(np.max(np.abs(ys - ref))) < 2e-2
