@@ -93,12 +93,33 @@ def simulate(kind: str, params, proto: P.Protocol, ts: jnp.ndarray,
 
 def simulate_family(kind: str, params, protos: list[P.Protocol],
                     ts: jnp.ndarray, c: Constants, vmapped: bool = False,
-                    **kw) -> jnp.ndarray:
+                    backend: str = "xla", **kw) -> jnp.ndarray:
     """Currents over a same-length protocol family -> [B, T].
 
     Sequential by default (one cheap compile, B executions); vmapped=True
     for throughput paths that amortize the larger XLA compile.
+
+    backend="pallas" (NN-f only, TPU): the fused branchless fixed-trip
+    kernel (ops/pallas_solve.fused_nnf_solve_ft) runs the whole adaptive
+    solve on-core — ~7x the XLA lockstep on a 64-protocol sweep (bench
+    pallas_sweep_solves_per_sec).  First compile of a new shape goes
+    through the remote Mosaic service (minutes, cached after).
     """
+    if backend == "pallas":
+        if kind != "nnf":
+            raise ValueError("backend='pallas' supports kind='nnf' only")
+        from ionflux.ops.pallas_solve import fused_nnf_solve_ft
+
+        b = P.stack(protos)
+        ys = fused_nnf_solve_ft(
+            params.net, params.rgate, b.v, ts,
+            proto_t0=float(protos[0].t0), proto_dt=float(protos[0].dt),
+            t_end=float(ts[-1]),
+            rtol=kw.get("rtol", 1e-5), atol=kw.get("atol", 1e-7),
+            trips=kw.get("trips", 4096),
+            interpret=kw.get("interpret", False))
+        v = jax.vmap(lambda pr: P.voltage(pr, ts))(b)
+        return gate_current(ys, v, c)
     if vmapped:
         b = P.stack(protos)
         return jax.vmap(lambda pr: simulate(kind, params, pr, ts, c, **kw))(b)

@@ -38,3 +38,22 @@ def test_method_dispatch_adams():
     a = simulate("hh", HH_B06, proto, ts, SYNTHETIC)
     b = simulate("hh", HH_B06, proto, ts, SYNTHETIC, method="adams")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_simulate_family_pallas_backend_matches_xla():
+    """backend='pallas' routes the family sweep through the fused
+    fixed-trip kernel (interpret mode here; Mosaic tier on chip)."""
+    import jax
+
+    from ionflux.eval import simulate_family
+    from ionflux.models import nnf_init
+    from ionflux.models.registry import HH_B06, SYNTHETIC
+
+    params = nnf_init(jax.random.PRNGKey(0), HH_B06, n_layers=1, n_nodes=16)
+    protos = [P.activation_protocol(v, dt_ms=1.0) for v in (-40.0, 20.0)]
+    ts = jnp.linspace(0.0, 8000.0, 161, jnp.float32)
+    ip = simulate_family("nnf", params, protos, ts, SYNTHETIC,
+                         backend="pallas", trips=2048, interpret=True)
+    ix = simulate_family("nnf", params, protos, ts, SYNTHETIC)
+    assert bool(jnp.all(jnp.isfinite(ip)))
+    assert float(jnp.max(jnp.abs(ip - ix))) < 5e-3
