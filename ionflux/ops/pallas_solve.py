@@ -285,6 +285,7 @@ def _make_kernel_ft(n_layers: int, n_knots_padded: int, t0: float,
         w_refs = refs[:n_layers]
         b_refs = refs[n_layers:2 * n_layers]
         rec_sc, rec_y, rec_k, n_out_ref = refs[2 * n_layers:2 * n_layers + 4]
+        vm_sc, vm_y, vm_k, sems = refs[2 * n_layers + 4:]
 
         def voltage(t):
             x = (t - t0) * inv_dt
@@ -360,12 +361,13 @@ def _make_kernel_ft(n_layers: int, n_knots_padded: int, t0: float,
             ks_new = jnp.stack([_pad_bt(k) for k in ks])       # [7, 2, 128]
             ks_la = jnp.where(accept, ks_new, ks_la)
 
-            # unconditional record write at the trip index
+            # unconditional record write at the block-local trip index
+            # (VMEM ring; DMA'd to HBM once per block)
             sc = jnp.where(lane128 == 0, t_la,
                            jnp.where(lane128 == 1, h_la, 0.0))
-            rec_sc[pl.ds(i, 1), :] = sc[None]
-            rec_y[pl.ds(i, 1), :, :] = y_la[None]
-            rec_k[pl.ds(i, 1), :, :, :] = ks_la[None]
+            vm_sc[pl.ds(i, 1), :] = sc[None]
+            vm_y[pl.ds(i, 1), :, :] = y_la[None]
+            vm_k[pl.ds(i, 1), :, :, :] = ks_la[None]
 
             t = jnp.where(accept, t + h_eff, t)
             y = jnp.where(accept, y1, y)
@@ -383,10 +385,11 @@ def _make_kernel_ft(n_layers: int, n_knots_padded: int, t0: float,
                 _pad_bt(y0), jnp.stack([_pad_bt(f0)] * 7))
 
         # two-level loop: the inner fori block is straight-line (Mosaic
-        # pipelines it); the outer while adds ONE data-dependent check per
-        # block, so early exit costs its stall only once per `block` trips
+        # pipelines it); the outer while adds ONE data-dependent check and
+        # ONE block-sized DMA per `block` trips
         block = 256
-        n_blocks = (trips + block - 1) // block
+        assert trips % block == 0, "trips must be a multiple of 256"
+        n_blocks = trips // block
 
         def blk_cond(state):
             blk, st = state
@@ -396,12 +399,25 @@ def _make_kernel_ft(n_layers: int, n_knots_padded: int, t0: float,
 
         def blk_body(state):
             blk, st = state
-            base = blk * block
 
             def inner(j, s):
-                return body(base + j, s)
+                return body(j, s)
 
             st = jax.lax.fori_loop(0, block, inner, st)
+            # one DMA per block: VMEM record ring -> HBM record stream
+            base = blk * block
+            c0 = pltpu.make_async_copy(
+                vm_sc, rec_sc.at[pl.ds(base, block)], sems.at[0])
+            c1 = pltpu.make_async_copy(
+                vm_y, rec_y.at[pl.ds(base, block)], sems.at[1])
+            c2 = pltpu.make_async_copy(
+                vm_k, rec_k.at[pl.ds(base, block)], sems.at[2])
+            c0.start()
+            c1.start()
+            c2.start()
+            c0.wait()
+            c1.wait()
+            c2.wait()
             return blk + 1, st
 
         _blk, (t, y, f, h, n_acc, t_la, h_la, y_la, ks_la) = (
@@ -457,11 +473,18 @@ def fused_nnf_solve_ft(
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + 2 * len(ws)),
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((256, 128), jnp.float32),
+            pltpu.VMEM((256, 2, 128), jnp.float32),
+            pltpu.VMEM((256, 7, 2, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(vpad, *ws, *bs)
 
