@@ -158,6 +158,42 @@ def measure_tpu(force_cpu: bool = False) -> dict:
         if best is None or sps > best[0]:
             best = (sps, dt, b, pop_b, y0b, ml)
 
+    if not force_cpu:
+        # fused per-lane-weights Pallas kernel on the same workload: the
+        # whole 64-net population stays VMEM-resident and the adaptive
+        # solve runs on-core (ops/pallas_solve.fused_nnf_pop_solve_ft);
+        # the residual wall is the M=1 batched-matmul MXU shape
+        from ionflux.ops.pallas_solve import fused_nnf_pop_solve_ft
+
+        b = 64
+        pop_b = tile_pop(b)
+        nets = [(w, bb) for w, bb in pop_b]
+        fpal = jax.jit(lambda ns: fused_nnf_pop_solve_ft(
+            [(w, bb) for w, bb in ns], HH_B06, proto.v, ts, proto_dt=0.1,
+            trips=2048, t_end=float(knots[-1])))
+        try:
+            out = fpal(pop_b)
+            out.block_until_ready()
+            assert bool(jax.numpy.all(jax.numpy.isfinite(out)))
+            t0 = time.perf_counter()
+            for _ in range(5):
+                out = fpal(pop_b)
+            out.block_until_ready()
+            dt = (time.perf_counter() - t0) / 5
+            sps = b / dt
+            log(f"batch {b} (pallas pop kernel): {b} solves in "
+                f"{dt*1e3:.1f} ms -> {sps:.2f} solves/s")
+            scaling.append({"batch": b, "max_lanes": None,
+                            "kernel": "pallas-pop",
+                            "solves_per_sec": round(sps, 1)})
+            if sps > best[0]:
+                best = (sps, dt, b, pop_b,
+                        jax.numpy.tile(jax.numpy.array([0.0, 1.0],
+                                                       jax.numpy.float32),
+                                       (b, 1)), None)
+        except Exception as exc:  # pragma: no cover - degraded chip path
+            log(f"pallas pop kernel case skipped: {exc}")
+
     sps, dt, b, pop_b, y0b, ml = best
     # roofline accounting at the best config: count step attempts once;
     # a chunked solve runs n_chunks sequential lockstep loops of lanes=ml

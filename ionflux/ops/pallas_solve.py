@@ -514,3 +514,220 @@ def _dense_eval_ft(rec_sc, rec_y, rec_k, n_acc, n_valid, ts, b):
     ys = y0s + hs[:, None, None] * jnp.einsum("tj,tjsb->tsb", bpoly, kk)
     ys = jnp.transpose(ys, (2, 0, 1))                              # [B,T,2]
     return jnp.where(ok, ys, jnp.full_like(ys, jnp.inf))
+
+
+# ---------------------------------------------------------------------------
+# Per-lane-weights variant: the CMA-ES/population workload (B member nets,
+# ONE shared protocol).  Same fixed-trip blocked design; the MLP becomes a
+# batched dot_general ([B,1,n] x [B,n,m], Mosaic-lowerable) and the whole
+# 64-member weight population stays VMEM-resident (62 MB; needs the raised
+# vmem_limit_bytes) — the XLA lockstep restreams/reloads per step and pays
+# ~57 us/step on this shape.
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel_pop_ft(n_layers: int, n_knots_padded: int, t0: float,
+                        dt_knot: float, t_end: float, rgate: tuple,
+                        rtol: float, atol: float, trips: int, b: int):
+    p5, p6, p7, p8 = rgate
+    inv_dt = 1.0 / dt_knot
+    A = [[float(x) for x in row] for row in _A]
+    C = [float(x) for x in _C]
+    BS = [float(x) for x in _B_SOL]
+    BE = [float(x) for x in _B_ERR]
+
+    def kernel(v_ref, *refs):
+        w_refs = refs[:n_layers]
+        b_refs = refs[n_layers:2 * n_layers]
+        rec_sc, rec_y, rec_k, n_out_ref = refs[2 * n_layers:2 * n_layers + 4]
+        vm_sc, vm_y, vm_k, sems = refs[2 * n_layers + 4:]
+
+        def voltage(t):
+            # shared protocol: scalar V(t), broadcast across lanes
+            x = (t - t0) * inv_dt
+            ii = jnp.clip(jnp.floor(x).astype(jnp.int32), 0,
+                          n_knots_padded - 130)
+            w = x - ii.astype(jnp.float32)
+            base = pl.multiple_of((ii // 128) * 128, 128)
+            off = ii - base
+            chunk = v_ref[:, pl.ds(base, 256)]                  # [1, 256]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+            v0 = jnp.sum(jnp.where(lane == off, chunk, 0.0))
+            v1 = jnp.sum(jnp.where(lane == off + 1, chunk, 0.0))
+            return v0 + w * (v1 - v0)                           # scalar
+
+        def mlp(x):                                             # x [B, 2]
+            h = x[:, None, :]                                   # [B, 1, n]
+            for li, (wr, br) in enumerate(zip(w_refs, b_refs)):
+                h = jax.lax.dot_general(
+                    h, wr[...], (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                h = h + br[...][:, None, :]
+                if li < n_layers - 1:
+                    h = jnp.where(h >= 0, h, 0.01 * h)
+            return h[:, 0, :]                                   # [B, 1]
+
+        def rhs(t, y):
+            v = voltage(t)
+            x = jnp.stack([jnp.full((b,), v / VRANGE), y[:, 0]], axis=-1)
+            dadt = mlp(x)[:, 0] / NETSCALE
+            k3 = p5 * jnp.exp(p6 * v)
+            k4 = p7 * jnp.exp(-p8 * v)
+            drdt = -k3 * y[:, 1] + k4 * (1.0 - y[:, 1])
+            return jnp.stack([dadt, drdt], axis=-1)
+
+        y0 = jnp.concatenate(
+            [jnp.zeros((b, 1), jnp.float32), jnp.ones((b, 1), jnp.float32)],
+            axis=1)
+        f0 = rhs(jnp.float32(t0), y0)
+
+        def _pad_bt(arr):
+            at = arr.T
+            pad = jnp.zeros((2, 128 - b), jnp.float32)
+            return jnp.concatenate([at, pad], axis=1)
+
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)[0]
+
+        def body(i, state):
+            (t, y, f, h, n_acc, t_la, h_la, y_la, ks_la) = state
+            h_eff = jnp.maximum(jnp.minimum(h, t_end - t), 1e-8)
+            ks = [f]
+            for si in range(1, 7):
+                yi = y
+                for sj in range(si):
+                    if A[si][sj] != 0.0:
+                        yi = yi + (h_eff * A[si][sj]) * ks[sj]
+                ks.append(rhs(t + C[si] * h_eff, yi))
+            y1 = y
+            err = jnp.zeros_like(y)
+            for sj in range(7):
+                if BS[sj] != 0.0:
+                    y1 = y1 + (h_eff * BS[sj]) * ks[sj]
+                if BE[sj] != 0.0:
+                    err = err + (h_eff * BE[sj]) * ks[sj]
+            scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
+            ratio = jnp.sqrt(jnp.max(jnp.mean((err / scale) ** 2, axis=-1)))
+            finite = jnp.all(jnp.isfinite(y1)) & jnp.isfinite(ratio)
+            accept = (ratio <= 1.0) & finite
+            t_la = jnp.where(accept, t, t_la)
+            h_la = jnp.where(accept, h_eff, h_la)
+            y_la = jnp.where(accept, _pad_bt(y), y_la)
+            ks_new = jnp.stack([_pad_bt(k) for k in ks])
+            ks_la = jnp.where(accept, ks_new, ks_la)
+            sc = jnp.where(lane128 == 0, t_la,
+                           jnp.where(lane128 == 1, h_la, 0.0))
+            vm_sc[pl.ds(i, 1), :] = sc[None]
+            vm_y[pl.ds(i, 1), :, :] = y_la[None]
+            vm_k[pl.ds(i, 1), :, :, :] = ks_la[None]
+            t = jnp.where(accept, t + h_eff, t)
+            y = jnp.where(accept, y1, y)
+            f = jnp.where(accept, ks[6], f)
+            n_acc = n_acc + accept.astype(jnp.int32)
+            factor = _SAFETY * jnp.exp(
+                -0.2 * jnp.log(jnp.maximum(ratio, 1e-10)))
+            factor = jnp.where(jnp.isfinite(factor), factor, _MINF)
+            h = h_eff * jnp.clip(factor, _MINF,
+                                 jnp.where(accept, _MAXF, 1.0))
+            return (t, y, f, h, n_acc, t_la, h_la, y_la, ks_la)
+
+        init = (jnp.float32(t0), y0, f0, jnp.float32(dt_knot * 10.0),
+                jnp.int32(0), jnp.float32(t0), jnp.float32(1e-8),
+                _pad_bt(y0), jnp.stack([_pad_bt(f0)] * 7))
+        block = 256
+        assert trips % block == 0
+        n_blocks = trips // block
+
+        def blk_cond(state):
+            blk, st = state
+            return (blk < n_blocks) & (st[0] < t_end) & jnp.all(
+                jnp.isfinite(st[1]))
+
+        def blk_body(state):
+            blk, st = state
+            st = jax.lax.fori_loop(0, block, lambda j, s: body(j, s), st)
+            base = blk * block
+            c0 = pltpu.make_async_copy(
+                vm_sc, rec_sc.at[pl.ds(base, block)], sems.at[0])
+            c1 = pltpu.make_async_copy(
+                vm_y, rec_y.at[pl.ds(base, block)], sems.at[1])
+            c2 = pltpu.make_async_copy(
+                vm_k, rec_k.at[pl.ds(base, block)], sems.at[2])
+            c0.start()
+            c1.start()
+            c2.start()
+            c0.wait()
+            c1.wait()
+            c2.wait()
+            return blk + 1, st
+
+        _blk, (t, y, f, h, n_acc, *_r) = jax.lax.while_loop(
+            blk_cond, blk_body, (jnp.int32(0), init))
+        ok = (t >= t_end) & jnp.all(jnp.isfinite(y))
+        n_out_ref[0, 0] = jnp.where(ok, n_acc, -jnp.maximum(n_acc, 1))
+        n_out_ref[0, 1] = _blk * block
+
+    return kernel
+
+
+def fused_nnf_pop_solve_ft(
+    nets,                           # pytree: [(W [B,i,o], b [B,o]), ...]
+    rgate: HHParams,
+    proto_v: jnp.ndarray,           # [N] shared knot voltages
+    ts: jnp.ndarray,
+    *,
+    proto_t0: float = 0.0,
+    proto_dt: float = 0.1,
+    t_end: float | None = None,
+    rtol: float = 1e-5,
+    atol: float = 1e-7,
+    trips: int = 2048,
+    interpret: bool = False,
+):
+    """Fixed-trip fused solve for a per-lane-weights NN-f population on ONE
+    shared protocol (the CMA-ES workload).  Returns ys [B, T, 2]."""
+    b = nets[0][0].shape[0]
+    assert b <= 128, "lane padding targets one 128-lane tile"
+    n = proto_v.shape[0]
+    t_end = float(t_end) if t_end is not None else float(ts[-1])
+    n_pad = ((n + 127) // 128) * 128 + 256
+    vpad = jnp.concatenate(
+        [proto_v.astype(jnp.float32)[None],
+         jnp.broadcast_to(proto_v[-1:].astype(jnp.float32),
+                          (1, n_pad - n))], axis=1)
+    ws = [w.astype(jnp.float32) for w, _ in nets]
+    bs = [bb.astype(jnp.float32) for _, bb in nets]
+
+    kernel = _make_kernel_pop_ft(
+        len(ws), n_pad, float(proto_t0), float(proto_dt), t_end,
+        tuple(float(x) for x in (rgate.p5, rgate.p6, rgate.p7, rgate.p8)),
+        float(rtol), float(atol), int(trips), b)
+
+    rec_sc, rec_y, rec_k, n_acc = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((trips, 128), jnp.float32),
+            jax.ShapeDtypeStruct((trips, 2, 128), jnp.float32),
+            jax.ShapeDtypeStruct((trips, 7, 2, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + 2 * len(ws)),
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((256, 128), jnp.float32),
+            pltpu.VMEM((256, 2, 128), jnp.float32),
+            pltpu.VMEM((256, 7, 2, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(vpad, *ws, *bs)
+
+    return _dense_eval_ft(rec_sc, rec_y, rec_k, n_acc[0, 0], n_acc[0, 1],
+                          ts.astype(jnp.float32), b)

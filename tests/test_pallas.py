@@ -93,3 +93,41 @@ def test_fused_nnf_fixed_trip_insufficient_trips_sentinel():
     ys = fused_nnf_solve_ft(params.net, HH_B06, protos.v, ts, proto_dt=1.0,
                             trips=256, interpret=True)
     assert not bool(jnp.isfinite(ys).all())
+
+
+def test_fused_nnf_pop_solve_matches_batched_lockstep():
+    """Per-lane-weights fixed-trip kernel (the CMA-ES/population workload:
+    B member nets, one shared protocol) vs the XLA batched-lane solver."""
+    from ionflux.models.registry import NETSCALE, VRANGE
+    from ionflux.ops.pallas_solve import fused_nnf_pop_solve_ft
+    from ionflux.solver import odeint_batched
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    pop_net = jax.vmap(
+        lambda k: nnf_init(k, HH_B06, n_layers=1, n_nodes=16).net)(keys)
+    nets = [(w, b) for w, b in pop_net]
+    proto = P.activation_protocol(20.0, dt_ms=1.0)
+    ts = jnp.linspace(0.0, 8000.0, 161, jnp.float32)
+    ys = fused_nnf_pop_solve_ft(nets, HH_B06, proto.v, ts, proto_dt=1.0,
+                                trips=2048, interpret=True)
+    assert bool(jnp.all(jnp.isfinite(ys)))
+
+    def rhs(t, y, args):
+        nets_, pr = args
+        v = P.voltage(pr, t)
+        h = jnp.stack([jnp.full((y.shape[0],), v / VRANGE), y[:, 0]],
+                      axis=-1)
+        for wi, (w, bb) in enumerate(nets_):
+            h = jnp.einsum("bi,bio->bo", h, w) + bb
+            if wi < len(nets_) - 1:
+                h = jnp.where(h >= 0, h, 0.01 * h)
+        dadt = h[:, 0] / NETSCALE
+        k3 = HH_B06.p5 * jnp.exp(HH_B06.p6 * v)
+        k4 = HH_B06.p7 * jnp.exp(-HH_B06.p8 * v)
+        drdt = -k3 * y[:, 1] + k4 * (1.0 - y[:, 1])
+        return jnp.stack([dadt, drdt], axis=-1)
+
+    y0b = jnp.tile(jnp.array([0.0, 1.0], jnp.float32), (4, 1))
+    ref = odeint_batched(rhs, y0b, ts, (pop_net, proto),
+                         rtol=1e-5, atol=1e-7)
+    assert float(jnp.max(jnp.abs(ys - ref))) < 5e-3

@@ -133,3 +133,22 @@ def test_fused_nnf_fixed_trip_mosaic_matches_xla():
         lambda pr: odeint(rhs, y0, ts, (params, pr), rtol=1e-5,
                           atol=1e-7))(protos))
     assert float(np.max(np.abs(ys - ref))) < 2e-2
+
+
+def test_fused_nnf_pop_mosaic_runs():
+    """Per-lane-weights kernel through real Mosaic (batched dot_general
+    lowering + 100 MB vmem limit for the resident weight population)."""
+    from ionflux.models import nnf_init
+    from ionflux.ops.pallas_solve import fused_nnf_pop_solve_ft
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 8)
+    pop_net = jax.vmap(lambda k: nnf_init(k, HH_B06).net)(keys)
+    nets = [(w, b) for w, b in pop_net]
+    proto = P.activation_protocol(20.0, dt_ms=1.0)
+    ts = jnp.linspace(0.0, 8000.0, 161, jnp.float32)
+    with jax.default_device(tpu()):
+        ys = np.asarray(fused_nnf_pop_solve_ft(
+            nets, HH_B06, proto.v, ts, proto_dt=1.0, trips=2048,
+            t_end=8000.0, interpret=False))
+    assert ys.shape == (8, 161, 2)
+    assert np.isfinite(ys).all()
