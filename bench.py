@@ -230,12 +230,13 @@ def measure_tpu(force_cpu: bool = False) -> dict:
 
 def measure_pallas_sweep() -> dict:
     """Second metric: the fused fixed-trip Pallas solve on the protocol-sweep
-    workload (ONE NN-f net, 64 activation-family protocols in lockstep) —
+    workload (ONE NN-f net, 128 activation-family protocols in lockstep) —
     the shape of every prediction/validation rollout and the synthetic data
     generator.  The branchless blocked kernel pipelines at ~4 us/trip where
     the XLA lockstep pays ~9 us and the while-variant stalls (ROADMAP
-    'branchless fixed-trip design'; measured 6941 solves/s at B=64 vs 986
-    for XLA lockstep at B=16)."""
+    'branchless fixed-trip design'; measured 11902 solves/s at B=128 vs
+    986 for XLA lockstep at B=16 — lanes ride nearly free up to the full
+    128-lane tile)."""
     import jax
     import jax.numpy as jnp
 
@@ -249,7 +250,7 @@ def measure_pallas_sweep() -> dict:
     from ionflux.ops.pallas_solve import fused_nnf_solve_ft
 
     params = nnf_init(jax.random.PRNGKey(0), HH_B06)
-    b = 64
+    b = 128
     protos = P.stack([P.activation_protocol(v)
                       for v in np.linspace(-60, 60, b)])
     ts = jnp.linspace(0.0, 8000.0, N_OUT, dtype=jnp.float32)

@@ -326,6 +326,8 @@ def _make_kernel_ft(n_layers: int, n_knots_padded: int, t0: float,
 
         def _pad_bt(arr):
             at = arr.T  # [2, b]
+            if b == 128:
+                return at
             pad = jnp.zeros((2, 128 - b), jnp.float32)
             return jnp.concatenate([at, pad], axis=1)
 
@@ -583,6 +585,8 @@ def _make_kernel_pop_ft(n_layers: int, n_knots_padded: int, t0: float,
 
         def _pad_bt(arr):
             at = arr.T
+            if b == 128:
+                return at
             pad = jnp.zeros((2, 128 - b), jnp.float32)
             return jnp.concatenate([at, pad], axis=1)
 
