@@ -14,6 +14,10 @@ from common import setup, study_parser  # noqa: E402
 args = study_parser("IKr real data fit with NN-f (r1).", real=True).parse_args()
 OUT = setup(args, "r1")
 
-from ionflux.rstudies import R1, run_real_study  # noqa: E402
+from ionflux.rstudies import (R1, predict_real_study,  # noqa: E402
+                             run_real_study)
 
-run_real_study(R1, OUT, iters=args.iters)
+if args.pred:
+    predict_real_study(R1, OUT)
+else:
+    run_real_study(R1, OUT, iters=args.iters)

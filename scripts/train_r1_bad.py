@@ -13,6 +13,10 @@ args = study_parser("IKr real data fit with NN-f, insufficient protocols "
                     "(r1-bad).", real=True).parse_args()
 OUT = setup(args, "r1-bad")
 
-from ionflux.rstudies import R1BAD, run_real_study  # noqa: E402
+from ionflux.rstudies import (R1BAD, predict_real_study,  # noqa: E402
+                             run_real_study)
 
-run_real_study(R1BAD, OUT, iters=args.iters)
+if args.pred:
+    predict_real_study(R1BAD, OUT)
+else:
+    run_real_study(R1BAD, OUT, iters=args.iters)

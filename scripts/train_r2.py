@@ -10,6 +10,10 @@ from common import setup, study_parser  # noqa: E402
 args = study_parser("IKr real data fit with NN-d (r2).", real=True).parse_args()
 OUT = setup(args, "r2")
 
-from ionflux.rstudies import R2, run_real_study  # noqa: E402
+from ionflux.rstudies import (R2, predict_real_study,  # noqa: E402
+                             run_real_study)
 
-run_real_study(R2, OUT, iters=args.iters)
+if args.pred:
+    predict_real_study(R2, OUT)
+else:
+    run_real_study(R2, OUT, iters=args.iters)
