@@ -220,17 +220,25 @@ class RealValidator:
 
 
 def run_real_study(spec: RealStudy, outdir: str, iters: int | None = None,
-                   surface=None, suffix: str = "-2"):
+                   surface=None, suffix: str = "-2",
+                   smoothi: bool = False):
     """Full r-study training: pretrain + chunked Adam with per-chunk
-    validation and best-checkpoint selection (train-r1.py:917-960)."""
+    validation and best-checkpoint selection (train-r1.py:917-960).
+    smoothi selects the exp-fit surface variant in the data-present branch
+    (the --smoothi flag, train-r1.py:422-673)."""
     os.makedirs(outdir, exist_ok=True)
     if surface is None:
         data_dir = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "data")
         if os.path.exists(os.path.join(
                 data_dir, "pr3-steady-activation-cell-5.csv")):
-            surface = surface_from_recordings(spec, data_dir)
+            surface = surface_from_recordings(spec, data_dir,
+                                              smoothi=smoothi)
         else:
+            if smoothi:
+                print("--smoothi requested but the raw CSVs are absent; "
+                      "training on the reference's cached surfaces "
+                      "(which ARE the smoothi product for r1)")
             surface = load_reference_surface(spec)
     _t, v, a, dadt = surface
 

@@ -20,4 +20,4 @@ from ionflux.rstudies import (R1, predict_real_study,  # noqa: E402
 if args.pred:
     predict_real_study(R1, OUT)
 else:
-    run_real_study(R1, OUT, iters=args.iters)
+    run_real_study(R1, OUT, iters=args.iters, smoothi=args.smoothi)

@@ -19,4 +19,4 @@ from ionflux.rstudies import (R1BAD, predict_real_study,  # noqa: E402
 if args.pred:
     predict_real_study(R1BAD, OUT)
 else:
-    run_real_study(R1BAD, OUT, iters=args.iters)
+    run_real_study(R1BAD, OUT, iters=args.iters, smoothi=args.smoothi)

@@ -27,4 +27,4 @@ for arch_id in ids:
           f"n_nodes={ARCHITECTURES[arch_id][1]}) ===")
     spec = tune_study(arch_id)
     outdir = os.path.join(OUT, arch_id)
-    run_real_study(spec, outdir, iters=args.iters)
+    run_real_study(spec, outdir, iters=args.iters, smoothi=args.smoothi)

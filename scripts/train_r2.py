@@ -16,4 +16,4 @@ from ionflux.rstudies import (R2, predict_real_study,  # noqa: E402
 if args.pred:
     predict_real_study(R2, OUT)
 else:
-    run_real_study(R2, OUT, iters=args.iters)
+    run_real_study(R2, OUT, iters=args.iters, smoothi=args.smoothi)
