@@ -362,7 +362,7 @@ def table_rollout_maes(spec: SyntheticStudy, params,
 
 def run_study_validated(spec: SyntheticStudy, outdir: str, n_seeds: int = 6,
                         iters: int | None = None, cached: bool = False,
-                        val_every: int = 400):
+                        val_every: int = 400, debug: bool = False):
     """d2 default recipe (VERDICT r3 item 1): train across init seeds in
     ``val_every``-iter chunks, roll out EVERY checkpoint on the five table-1
     protocols vs the study's noisy data (table_rollout_maes — the same
@@ -427,6 +427,15 @@ def run_study_validated(spec: SyntheticStudy, outdir: str, n_seeds: int = 6,
           f"(score {score:.3f})")
     save_pytree(os.path.join(outdir, "model.npz"), params)
     save_model_bundle(os.path.join(outdir, "model-entire.npz"), params, spec)
+    if debug:
+        # the reference's --debug rates3d surface plot (train-s1.py:810-822)
+        from ionflux.figures import surface_scatter_3d
+
+        surface_scatter_3d(
+            os.path.join(outdir, "rates3d-000.png"), v, a, dadt,
+            net=params.net,
+            nnd_base=spec.base_hh if spec.model_kind == "nnd" else None)
+        print(f"wrote {outdir}/rates3d-000.png")
     return params
 
 

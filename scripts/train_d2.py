@@ -23,4 +23,4 @@ else:
     # truth and the global best kept (replaces the reference's single
     # lucky torch draw; see studies.run_study_validated rationale)
     run_study_validated(D2, OUT, n_seeds=6, iters=args.iters,
-                        cached=args.cached)
+                        cached=args.cached, debug=args.debug)
