@@ -18,7 +18,8 @@ args = parser.parse_args()
 OUT = setup(args, "r1-tune")
 
 from ionflux.models.registry import ARCHITECTURES  # noqa: E402
-from ionflux.rstudies import run_real_study, tune_study  # noqa: E402
+from ionflux.rstudies import (predict_real_study, run_real_study,  # noqa: E402
+                              tune_study)
 
 ids = list(ARCHITECTURES) if args.all else [args.info or "s00"]
 for arch_id in ids:
@@ -27,4 +28,8 @@ for arch_id in ids:
           f"n_nodes={ARCHITECTURES[arch_id][1]}) ===")
     spec = tune_study(arch_id)
     outdir = os.path.join(OUT, arch_id)
-    run_real_study(spec, outdir, iters=args.iters, smoothi=args.smoothi)
+    if args.pred:
+        predict_real_study(spec, outdir)
+    else:
+        run_real_study(spec, outdir, iters=args.iters,
+                       smoothi=args.smoothi)
