@@ -195,11 +195,11 @@ def staircase_protocol(dt_ms: float = 0.1) -> Protocol:
     -120 mV tail, the 19-step staircase (STAIRCASE_STEPS_MV), then the
     signature ending — a +40 mV re-activation step followed by the fast
     ramp down to -120 mV that gives the protocol its name.  Validated
-    against the reference's archived prediction logs: the s1 NN-f and d1
-    NN-f archived weights reproduce their logged staircase MAEs (s1/log2:7
-    = 0.218293, d1/log2:7 = 0.248812) to 0.8% / 1.6% on this waveform, and
-    the pixel-extracted s1/999-staircase.png current matches the HH_B06
-    simulation over the full 15 s trace.
+    against FOUR archived prediction logs: the s1/d1 NN-f and s2/d2 NN-d
+    archived weights reproduce their logged staircase MAEs (0.218293 /
+    0.248812 / 0.059485 / 0.191567) to 0.8% / 1.6% / 2.6% / 7.2% on this
+    waveform, and the pixel-extracted s1/999-staircase.png current matches
+    the HH_B06 simulation over the full 15 s trace.
     """
     dt = dt_ms
     segs: list[tuple] = [(-80.0, 250.0), (-120.0, 50.0),

@@ -107,3 +107,30 @@ def test_staircase_reconstruction_mae(nnf):
     got = float(mae(gate_current(yp, v, SYNTHETIC),
                     gate_current(yt, v, SYNTHETIC)))
     assert abs(got - 0.218293) / 0.218293 < 0.02, got
+
+
+def test_staircase_reconstruction_s2_d2_maes(reference_dir):
+    """Two further archived-log validations of the reconstructed staircase:
+    the s2 and d2 NN-d archived weights reproduce their logged staircase
+    MAEs (s2/log2:7 = 0.059485 to ~3%, d2/log2:7 = 0.191567 to ~8% — the
+    discrepancy nets amplify residual waveform detail)."""
+    from ionflux.models.nn import NNdParams
+    from ionflux.models.registry import HH_D2_BASE, MARKOV_B06
+    from ionflux.eval import simulate
+    from ionflux.models.registry import SYNTHETIC
+    from ionflux.utils import load_mlp_state_dict
+
+    proto = P.staircase_protocol()
+    ts = jnp.asarray(np.linspace(0.0, 15000.0, 7501), jnp.float32)
+    kw = dict(max_steps=400_000, buffer_size=16384)
+    for study, base, gt_kind, gt, ref in (
+            ("s2", HH_B06, "hh", HH_B06, 0.059485),
+            ("d2", HH_D2_BASE, "markov", MARKOV_B06, 0.191567)):
+        truth = simulate(gt_kind, gt, proto, ts, SYNTHETIC, **kw)
+        net = [(jnp.asarray(w), jnp.asarray(b)) for w, b in
+               load_mlp_state_dict(
+                   f"{reference_dir}/{study}/model-state-dict.pt")]
+        pred = simulate("nnd", NNdParams(net=net, hh=base), proto, ts,
+                        SYNTHETIC, **kw)
+        got = float(np.mean(np.abs(np.asarray(pred) - np.asarray(truth))))
+        assert abs(got - ref) / ref < 0.1, (study, got)
