@@ -360,9 +360,61 @@ def table_rollout_maes(spec: SyntheticStudy, params,
     return out
 
 
+def s_rollout_maes(spec: SyntheticStudy, params) -> dict:
+    """Clean-ground-truth rollout MAEs on the s-study prediction protocols
+    (the rows archived in s1/log2, s2/log2): AP2Hz, sinewave, staircase and
+    the activation/deactivation family means.  The d-study analogue is
+    table_rollout_maes."""
+    from ionflux import protorec
+
+    kw = dict(max_steps=400_000, buffer_size=16384)
+    rows = [
+        ("ap2hz", P.load_csv(f"{REFDIR}/test-protocols/ap2hz.csv"),
+         jnp.asarray(PRED_T, jnp.float32)),
+        ("sin", protorec.protocol("sinewave-cell5"),
+         jnp.asarray(np.linspace(0.0, 8000.0, 4001), jnp.float32)),
+        ("stair", P.staircase_protocol(),
+         jnp.asarray(np.linspace(0.0, 15000.0, 7501), jnp.float32)),
+    ]
+    out = {}
+    for label, proto, ts in rows:
+        key = (spec.gt_kind, label, "s")
+        if key not in _GT_ROLLOUTS:
+            _GT_ROLLOUTS[key] = np.asarray(
+                simulate(spec.gt_kind, spec.gt, proto, ts, SYNTHETIC, **kw),
+                np.float64)
+        pred = np.asarray(
+            simulate(spec.model_kind, params, proto, ts, SYNTHETIC, **kw),
+            np.float64)
+        out[label] = float(np.mean(np.abs(pred - _GT_ROLLOUTS[key])))
+    fams = [("act", P.activation_family(dt_ms=1.0),
+             jnp.asarray(np.linspace(0.0, 8000.0, 2001), jnp.float32)),
+            ("deact", P.deactivation_family(dt_ms=1.0),
+             jnp.asarray(np.linspace(0.0, 10000.0, 2001), jnp.float32))]
+    for label, protos, ts in fams:
+        maes = []
+        for k, pr in enumerate(protos):
+            key = (spec.gt_kind, label, k, "s")
+            if key not in _GT_ROLLOUTS:
+                _GT_ROLLOUTS[key] = np.asarray(
+                    simulate(spec.gt_kind, spec.gt, pr, ts, SYNTHETIC),
+                    np.float64)
+            pred = np.asarray(
+                simulate(spec.model_kind, params, pr, ts, SYNTHETIC),
+                np.float64)
+            maes.append(float(np.mean(np.abs(pred - _GT_ROLLOUTS[key]))))
+        out[label] = float(np.mean(maes))
+    score = sum(out.values())
+    out["score"] = score if np.isfinite(score) else float("inf")
+    if not np.isfinite(score):
+        out = {k: float("inf") for k in out}
+    return out
+
+
 def run_study_validated(spec: SyntheticStudy, outdir: str, n_seeds: int = 6,
                         iters: int | None = None, cached: bool = False,
-                        val_every: int = 400, debug: bool = False):
+                        val_every: int = 400, debug: bool = False,
+                        metric=None, target_net=None):
     """d2 default recipe (VERDICT r3 item 1): train across init seeds in
     ``val_every``-iter chunks, roll out EVERY checkpoint on the five table-1
     protocols vs the study's noisy data (table_rollout_maes — the same
@@ -393,6 +445,10 @@ def run_study_validated(spec: SyntheticStudy, outdir: str, n_seeds: int = 6,
     anchors = (boundary_anchors(
         None if spec.model_kind == "nnd" else (spec.pretrain_hh or spec.rgate),
         weight=spec.anchor_weight) if spec.anchor_weight > 0 else None)
+    if metric is None:
+        metric = table_rollout_maes
+    if target_net is not None:
+        print("Target Loss", float(surface_loss(target_net, x, y)))
 
     total = iters if iters is not None else spec.iters
     best = (float("inf"), None, -1, -1)
@@ -411,7 +467,7 @@ def run_study_validated(spec: SyntheticStudy, outdir: str, n_seeds: int = 6,
                 net, opt_state, x, y, residual, anchors, iters=n, lr=1e-3,
                 step_size=sspec.step_size, gamma=0.9)
             done += n
-            m = table_rollout_maes(sspec, wrap_net(sspec, net))
+            m = metric(sspec, wrap_net(sspec, net))
             print(f"seed {seed} iter {done:5d} | train "
                   f"{float(losses[-1]):.5f} | " +
                   " ".join(f"{k} {v_:.3f}" for k, v_ in m.items()

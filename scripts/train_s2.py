@@ -29,5 +29,7 @@ else:
     s1_model = os.path.join(os.path.dirname(OUT), "s1", "model.npz")
     if os.path.exists(s1_model):
         target_net = load_study_params(S1, os.path.dirname(s1_model)).net
-    run_study(S2, OUT, iters=args.iters, cached=args.cached,
-              target_net=target_net, debug=args.debug)
+    from ionflux.studies import run_study_validated, s_rollout_maes
+    run_study_validated(S2, OUT, n_seeds=4, iters=args.iters,
+                        cached=args.cached, debug=args.debug,
+                        metric=s_rollout_maes, target_net=target_net)
