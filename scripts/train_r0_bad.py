@@ -145,6 +145,25 @@ def make_objective(meas: dict, pop: int):
     return objective
 
 
+def _simulate_fit(x: np.ndarray, name: str) -> np.ndarray:
+    """Full-trace current for one parameter vector on one protocol."""
+    protos, ts, n_sweeps, period = _sweep_protos(f"{name}-cell5")
+    xs = jnp.asarray(np.tile(x, (2, 1)), jnp.float32)
+    y = jnp.tile(jnp.array([0.0, 1.0], jnp.float32), (2, 1))
+
+    def sweep(carry, pk, ts=ts):
+        y, _ = carry
+        ys = odeint_batched(_rhs_hh_pop, y, ts, (xs, pk), rtol=1e-5,
+                            atol=1e-7, buffer_size=8192, max_steps=200_000)
+        return (ys[:, -1, :], 0.0), ys[:, :-1, :]
+
+    (_, _), ys = jax.lax.scan(sweep, (y, 0.0), protos)
+    ys = jnp.moveaxis(ys, 1, 0).reshape(2, n_sweeps * period, 2)
+    v = jnp.asarray(protorec.load_voltage(f"{name}-cell5")[0], jnp.float32)
+    i = G * ys[:, :, 0] * ys[:, :, 1] * (v[None] - E)
+    return np.asarray(i[0], np.float64)
+
+
 def main():
     meas = recover_measurements(f"{REFDIR}/r1-bad", CELL5_R1BAD,
                                 HH_R1BAD_INIT, protocols=("pr3", "pr4"),
@@ -153,6 +172,30 @@ def main():
     objective = make_objective(meas, pop)
     f0 = objective(P0[None])[0]
     print("Initial guess error:", f0)
+
+    # data-vs-initial-guess plot (the reference saves r0-bad/data.png,
+    # train-r0-bad.py:443-447)
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(2, 1, figsize=(10, 6))
+    for ax, name in zip(axes, ("pr3", "pr4")):
+        tl, i_meas = meas[name]
+        i0 = _simulate_fit(np.asarray(P0), name)
+        idx = np.round(np.asarray(tl) / protorec.DT_MS).astype(np.int64)
+        ax.plot(np.asarray(tl) * 1e-3, i_meas, lw=0.5,
+                label="recovered measurement")
+        ax.plot(np.asarray(tl) * 1e-3, i0[idx], lw=0.5,
+                label="initial guess")
+        ax.set_ylabel(f"{name} current (nA)")
+        ax.legend(loc="upper right", fontsize=8)
+    axes[-1].set_xlabel("time (s)")
+    fig.tight_layout()
+    fig.savefig(os.path.join(OUT, "data.png"), dpi=150)
+    plt.close(fig)
+    print(f"wrote {OUT}/data.png")
 
     if args.debug:
         return
