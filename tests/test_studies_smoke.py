@@ -61,3 +61,35 @@ def test_tune_study_arch_shapes():
     p = init_params(spec)
     shapes = [w.shape for w, _ in p.net]
     assert shapes == [(2, 10), (10, 10), (10, 1)]
+
+
+def test_run_study_validated_selects_best_checkpoint(tmp_path, monkeypatch):
+    """The checkpoint-validated default recipe (VERDICT r3 #1): every
+    val_every-iter checkpoint of every seed is scored and the global best
+    (seed, iter) kept; infinite scores (diverged iterates) are rejected."""
+    from dataclasses import replace
+
+    from ionflux.studies import S1, run_study_validated
+
+    src = os.path.join(OUT, "s1", "surface.npz")
+    if not os.path.exists(src):
+        pytest.skip("out/s1/surface.npz fixture missing")
+    d = dict(np.load(src))
+    np.savez(os.path.join(str(tmp_path), "surface.npz"),
+             **{k: v[::16] for k, v in d.items()})
+
+    calls = []
+    # scripted metric: seed 0 diverges, seed 1's SECOND checkpoint is best
+    scores = iter([float("inf"), float("inf"), 0.8, 0.2, 0.5, 0.9])
+
+    def metric(spec, params):
+        s = next(scores)
+        calls.append((spec.init_seed, s))
+        return {"score": s}
+
+    params = run_study_validated(
+        replace(S1, pretrain_iters=5), str(tmp_path), n_seeds=3,
+        iters=2, val_every=1, metric=metric)
+    assert len(calls) == 6
+    assert os.path.exists(os.path.join(str(tmp_path), "model.npz"))
+    assert all(np.isfinite(np.asarray(w)).all() for w, _ in params.net)
