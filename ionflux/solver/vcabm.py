@@ -261,8 +261,10 @@ def odeint_vcabm(
     glx = jnp.asarray(_GL_X, dtype)
     glw = jnp.asarray(_GL_W, dtype)
     # scaled target: integrate the stored unit-scaled polynomial on
-    # [0, (t_out - t_from)/h_rec], then multiply by h_rec
-    frac = (ts - t_from) / h_rec                           # [T]
+    # [0, (t_out - t_from)/h_rec], then multiply by h_rec; accepted records
+    # tile [t0, t_end] contiguously so frac <= 1 up to float error — clamp
+    # like dopri5's dense output
+    frac = jnp.clip((ts - t_from) / h_rec, 0.0, 1.0)       # [T]
     half = frac * 0.5
     tau = half[:, None] * (glx + 1.0)[None, :]             # [T, 7]
     diff = tau[:, :, None] - bn[idx][:, None, :]           # [T, 7, H]
