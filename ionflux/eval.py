@@ -99,24 +99,27 @@ def simulate_family(kind: str, params, protos: list[P.Protocol],
     Sequential by default (one cheap compile, B executions); vmapped=True
     for throughput paths that amortize the larger XLA compile.
 
-    backend="pallas" (NN-f only, TPU): the fused branchless fixed-trip
+    backend="pallas" (NN-f/NN-d, TPU): the fused branchless fixed-trip
     kernel (ops/pallas_solve.fused_nnf_solve_ft) runs the whole adaptive
     solve on-core — ~7x the XLA lockstep on a 64-protocol sweep (bench
     pallas_sweep_solves_per_sec).  First compile of a new shape goes
     through the remote Mosaic service (minutes, cached after).
     """
     if backend == "pallas":
-        if kind != "nnf":
-            raise ValueError("backend='pallas' supports kind='nnf' only")
+        if kind not in ("nnf", "nnd"):
+            raise ValueError("backend='pallas' supports the MLP families "
+                             "(nnf/nnd) only")
         from ionflux.ops.pallas_solve import fused_nnf_solve_ft
 
         b = P.stack(protos)
         ys = fused_nnf_solve_ft(
-            params.net, params.rgate, b.v, ts,
+            params.net,
+            params.rgate if kind == "nnf" else params.hh, b.v, ts,
             proto_t0=float(protos[0].t0), proto_dt=float(protos[0].dt),
             t_end=float(ts[-1]),
             rtol=kw.get("rtol", 1e-5), atol=kw.get("atol", 1e-7),
             trips=kw.get("trips", 4096),
+            base_hh=params.hh if kind == "nnd" else None,
             interpret=kw.get("interpret", False))
         v = jax.vmap(lambda pr: P.voltage(pr, ts))(b)
         return gate_current(ys, v, c)

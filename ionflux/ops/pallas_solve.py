@@ -273,7 +273,9 @@ def _dense_eval(rec_sc, rec_y, rec_k, n_acc, ts, b):
 
 def _make_kernel_ft(n_layers: int, n_knots_padded: int, t0: float,
                     dt_knot: float, t_end: float, rgate: tuple, rtol: float,
-                    atol: float, trips: int, b: int):
+                    atol: float, trips: int, b: int, base_a: tuple = ()):
+    # base_a = (p1..p4): NN-d mode — the MLP is an additive correction to
+    # the analytic a-gate rate (models/nn.py nnd_rhs)
     p5, p6, p7, p8 = rgate
     inv_dt = 1.0 / dt_knot
     A = [[float(x) for x in row] for row in _A]
@@ -314,6 +316,11 @@ def _make_kernel_ft(n_layers: int, n_knots_padded: int, t0: float,
             v = voltage(t)
             x = jnp.stack([v / VRANGE, y[:, 0]], axis=-1)
             dadt = mlp(x)[:, 0] / NETSCALE
+            if base_a:
+                p1, p2, p3, p4 = base_a
+                k1 = p1 * jnp.exp(p2 * v)
+                k2 = p3 * jnp.exp(-p4 * v)
+                dadt = dadt + k1 * (1.0 - y[:, 0]) - k2 * y[:, 0]
             k3 = p5 * jnp.exp(p6 * v)
             k4 = p7 * jnp.exp(-p8 * v)
             drdt = -k3 * y[:, 1] + k4 * (1.0 - y[:, 1])
@@ -445,11 +452,14 @@ def fused_nnf_solve_ft(
     rtol: float = 1e-5,
     atol: float = 1e-7,
     trips: int = 3072,
+    base_hh: HHParams | None = None,
     interpret: bool = False,
 ):
     """Fixed-trip fused NN-f solve (see module tail comment).  ``trips``
     must exceed the adaptive attempt count (ok=False and inf output
-    otherwise, like every other solver sentinel).  Returns ys [B, T, 2]."""
+    otherwise, like every other solver sentinel).  base_hh switches the
+    kernel to the NN-d family (MLP as additive correction to the analytic
+    p1-p4 a-gate, with r-gate from base_hh).  Returns ys [B, T, 2]."""
     b, n = protos_v.shape
     t_end = float(t_end) if t_end is not None else float(ts[-1])
     n_pad = ((n + 127) // 128) * 128 + 256
@@ -460,10 +470,14 @@ def fused_nnf_solve_ft(
     ws = [w.astype(jnp.float32) for w, _ in net]
     bs = [bb.astype(jnp.float32) for _, bb in net]
 
+    gate = base_hh if base_hh is not None else rgate
     kernel = _make_kernel_ft(
         len(ws), n_pad, float(proto_t0), float(proto_dt), t_end,
-        tuple(float(x) for x in (rgate.p5, rgate.p6, rgate.p7, rgate.p8)),
-        float(rtol), float(atol), int(trips), b)
+        tuple(float(x) for x in (gate.p5, gate.p6, gate.p7, gate.p8)),
+        float(rtol), float(atol), int(trips), b,
+        base_a=(tuple(float(x) for x in
+                      (base_hh.p1, base_hh.p2, base_hh.p3, base_hh.p4))
+                if base_hh is not None else ()))
 
     rec_sc, rec_y, rec_k, n_acc = pl.pallas_call(
         kernel,

@@ -131,3 +131,21 @@ def test_fused_nnf_pop_solve_matches_batched_lockstep():
     ref = odeint_batched(rhs, y0b, ts, (pop_net, proto),
                          rtol=1e-5, atol=1e-7)
     assert float(jnp.max(jnp.abs(ys - ref))) < 5e-3
+
+
+def test_fused_fixed_trip_solve_nnd_family():
+    """NN-d mode of the fixed-trip kernel: MLP as additive correction to
+    the analytic a-gate (base_hh), matching the XLA NN-d solve."""
+    from ionflux.eval import simulate_family
+    from ionflux.models import nnd_init
+    from ionflux.models.registry import SYNTHETIC
+
+    params = nnd_init(jax.random.PRNGKey(3), HH_B06, n_layers=1, n_nodes=16,
+                      std=0.05)
+    protos = [P.activation_protocol(v, dt_ms=1.0) for v in (-40.0, 20.0)]
+    ts = jnp.linspace(0.0, 8000.0, 161, jnp.float32)
+    ip = simulate_family("nnd", params, protos, ts, SYNTHETIC,
+                         backend="pallas", trips=2048, interpret=True)
+    ix = simulate_family("nnd", params, protos, ts, SYNTHETIC)
+    assert bool(jnp.all(jnp.isfinite(ip)))
+    assert float(jnp.max(jnp.abs(ip - ix))) < 5e-3
