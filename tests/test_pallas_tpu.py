@@ -152,3 +152,21 @@ def test_fused_nnf_pop_mosaic_runs():
             t_end=8000.0, interpret=False))
     assert ys.shape == (8, 161, 2)
     assert np.isfinite(ys).all()
+
+
+def test_fused_fixed_trip_nnd_mosaic_runs():
+    """NN-d mode of the fixed-trip kernel through real Mosaic."""
+    from ionflux.eval import simulate_family
+    from ionflux.models import nnd_init
+    from ionflux.models.registry import SYNTHETIC
+
+    params = nnd_init(jax.random.PRNGKey(3), HH_B06, n_layers=1, n_nodes=16,
+                      std=0.05)
+    protos = [P.activation_protocol(v, dt_ms=1.0) for v in (-40.0, 20.0)]
+    ts = jnp.linspace(0.0, 8000.0, 161, jnp.float32)
+    with jax.default_device(tpu()):
+        ip = np.asarray(simulate_family("nnd", params, protos, ts, SYNTHETIC,
+                                        backend="pallas", trips=2048))
+    ix = np.asarray(simulate_family("nnd", params, protos, ts, SYNTHETIC))
+    assert np.isfinite(ip).all()
+    assert float(np.max(np.abs(ip - ix))) < 5e-3
