@@ -3,16 +3,26 @@
 data by CMA-ES on the whole concatenated Pr3+Pr5 current trace.
 
 TPU-native rebuild of reference train-d0.py: the PINTS controller +
-multiprocessing population becomes a host-side CMA-ES with a vmapped jitted
-batch of whole-trace solves on device; the 146 s concatenated recording is
-integrated as a lax.scan chain of per-sweep solves on local time axes
-(solver/chained.py), and the SIGALRM/Myokit timeout guards become inf
-sentinels from the solver (train-d0.py:304-318 -> SolveStats.ok).
+multiprocessing population becomes a host-side CMA-ES with a lockstep
+batched-lane solve per sweep on device, and the SIGALRM/Myokit timeout
+guards become inf sentinels from the solver (train-d0.py:304-318 ->
+per-lane SolveStats.ok).
 
-Data caveat (SURVEY.md §1.1): the reference drives this with the *recorded*
-Beattie cell-5 Pr3/Pr5 voltage files (data/pr3-...csv), absent from the
-mount; we degrade to the programmatic Pr3/Pr5 step templates, so the fitted
-parameters approximate (not bit-match) d0/model-parameters.txt.
+Reference semantics reproduced exactly (train-d0.py:460-505):
+- the RECORDED Beattie cell-5 Pr3/Pr5 voltage files drive everything — here
+  the sample-exact protorec reconstructions (pinned from the reference's
+  own surface caches);
+- ground-truth data: Markov GT solved per protocol from the rest state
+  (state resets between Pr3 and Pr5, each protocol one continuous solve
+  across its sweeps), plus the seed-0 numpy noise stream drawn at FULL
+  0.1 ms resolution;
+- the fit scores the [::10] subsample of the concatenated trace, with the
+  candidate's state carried continuously across the Pr3->Pr5 boundary
+  (timet = append(time1, ...), one odeint — train-d0.py:487-505).
+
+The recorded-protocol lengths equal the reference CSVs' sample-for-sample,
+so the noise stream aligns exactly; the only delta from the reference's
+actual data is the ~1e-4 protocol-reconstruction residual.
 """
 
 from __future__ import annotations
@@ -35,27 +45,42 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from ionflux import protocols as P  # noqa: E402
+from ionflux import protorec  # noqa: E402
 from ionflux.fit.cmaes import cmaes  # noqa: E402
-from ionflux.models import hh_rhs, markov_rhs, MARKOV_Y0_REST  # noqa: E402
+from ionflux.models import markov_rhs, MARKOV_Y0_REST  # noqa: E402
 from ionflux.models.registry import (  # noqa: E402
     HH_B06,
     MARKOV_B06,
     SYNTHETIC,
 )
 from ionflux.observe import NOISE_SIGMA  # noqa: E402
-from ionflux.solver import odeint_chained  # noqa: E402
+from ionflux.solver import odeint_batched, odeint_chained  # noqa: E402
 
 # CMA-ES initial guess = B06 HH a-gate (train-d0.py:32-38)
 P0 = np.array([float(HH_B06.p1), float(HH_B06.p2),
                float(HH_B06.p3), float(HH_B06.p4)])
 RGATE = (MARKOV_B06.p5, MARKOV_B06.p6, MARKOV_B06.p7, MARKOV_B06.p8)
+SUB = 10  # data subsample [::10] (train-d0.py:504-505)
 
-ACT = P.stack(P.activation_family())       # [7, 80001] sweeps, 8 s each
-DEACT = P.stack(P.deactivation_family())   # [9, 100001] sweeps, 10 s each
-SUB = 10                                   # data subsample (train-d0.py:504-505)
-# per-sweep local output grids = every 10th 0.1 ms sample -> 1 ms
-TS3 = jnp.linspace(0.0, 8000.0, 8001, dtype=jnp.float32)[:-1]
-TS5 = jnp.linspace(0.0, 10000.0, 10001, dtype=jnp.float32)[:-1]
+
+def _sweep_protos(name: str):
+    """Per-sweep recorded protocols with a 1-sample overlap into the next
+    sweep (as eval.solve_states_long), plus the full 0.1 ms output grid.
+    The [::10] score lattice is applied on the FLAT per-protocol axis
+    (Pr5's sweep period is not a multiple of 10, so the lattice phase
+    shifts across sweeps — exactly as the reference's global subsample)."""
+    n_sweeps, period = protorec.SWEEPS[name]
+    v, dt = protorec.load_voltage(name)
+    vs = np.empty((n_sweeps, period + 1), v.dtype)
+    vs[:, :period] = v.reshape(n_sweeps, period)
+    vs[:-1, period] = vs[1:, 0]
+    vs[-1, period] = vs[-1, period - 1]
+    protos = P.stack([
+        P.Protocol(jnp.asarray(0.0, jnp.float32),
+                   jnp.asarray(dt, jnp.float32),
+                   jnp.asarray(row, jnp.float32)) for row in vs])
+    ts = jnp.arange(period + 1, dtype=jnp.float32) * jnp.float32(dt)
+    return protos, ts, n_sweeps, period
 
 
 def _rhs_markov(t, y, a):
@@ -63,42 +88,39 @@ def _rhs_markov(t, y, a):
     return markov_rhs(params, t, y, P.voltage(proto, t))
 
 
-def _rhs_hh(t, y, a):
-    params, proto = a
-    return hh_rhs(params, t, y, P.voltage(proto, t))
-
-
-def _observe(ys, protos, ts):
-    v = jax.vmap(lambda pr: P.voltage(pr, ts))(protos)
-    return ys[..., -1] * (v - SYNTHETIC.e)
-
-
 def generate_data():
-    """Markov ground truth chained across sweeps within each protocol block
-    (state reset between Pr3 and Pr5 blocks, as the reference) + seed-0
-    noise. Returns (i3 [7,T3], i5 [9,T5]) noisy currents."""
+    """Markov ground truth on the recorded protocols (per-protocol solve
+    from rest, continuous across sweeps) + the full-resolution seed-0 noise
+    stream, subsampled [::10].  Returns (d3 [7, T3], d5 [9, T5])."""
     cache = os.path.join(OUT, "data.npz")
     if args.cached and os.path.exists(cache):
         d = np.load(cache)
-        return d["i3"], d["i5"]
-    y0 = jnp.asarray(MARKOV_Y0_REST, jnp.float32)
-    ys3 = odeint_chained(_rhs_markov, y0, TS3, ACT, MARKOV_B06)
-    ys5 = odeint_chained(_rhs_markov, y0, TS5, DEACT, MARKOV_B06)
-    v3 = jax.vmap(lambda pr: P.voltage(pr, TS3))(ACT)
-    v5 = jax.vmap(lambda pr: P.voltage(pr, TS5))(DEACT)
-    i3 = np.asarray(ys3[..., -1] * (v3 - SYNTHETIC.e), np.float64)
-    i5 = np.asarray(ys5[..., -1] * (v5 - SYNTHETIC.e), np.float64)
+        return d["d3"], d["d5"]
+    parts = []
+    for name in ("pr3-cell5", "pr5-cell5"):
+        protos, ts, n_sweeps, period = _sweep_protos(name)
+        y0 = jnp.asarray(MARKOV_Y0_REST, jnp.float32)
+        ys = odeint_chained(_rhs_markov, y0, ts, protos, MARKOV_B06,
+                            buffer_size=16384, max_steps=200_000)
+        v = jax.vmap(lambda pr: P.voltage(pr, ts))(protos)
+        i = np.asarray(ys[:, :-1, -1] * (v[:, :-1] - SYNTHETIC.e),
+                       np.float64).reshape(-1)           # flat [N]
+        parts.append(i)
+    # the reference draws noise over the FULL-resolution concatenated trace
+    # then subsamples [::10] (train-d0.py:487-505); the global lattice
+    # splits per protocol because len(pr3) is a multiple of 10
     rs = np.random.RandomState(0)
-    flat = np.concatenate([i3.reshape(-1), i5.reshape(-1)])
-    flat += rs.normal(0.0, NOISE_SIGMA, flat.shape)
-    i3 = flat[: i3.size].reshape(i3.shape)
-    i5 = flat[i3.size:].reshape(i5.shape)
-    np.savez(cache, i3=i3, i5=i5)
-    return i3, i5
+    noise = rs.normal(0.0, NOISE_SIGMA, sum(p.size for p in parts))
+    n3 = parts[0].size
+    assert n3 % SUB == 0
+    d3 = (parts[0] + noise[:n3])[::SUB]
+    d5 = (parts[1] + noise[n3:])[::SUB]
+    np.savez(cache, d3=d3, d5=d5)
+    return d3, d5
 
 
 def _rhs_hh_pop(t, y, args):
-    """Population-batched HH RHS: per-lane p1-p4 (y [POP, 2])."""
+    """Population-batched candidate HH: per-lane p1-p4 (y [POP, 2])."""
     ps, proto = args
     v = P.voltage(proto, t)
     k1 = ps[:, 0] * jnp.exp(ps[:, 1] * v)
@@ -110,37 +132,38 @@ def _rhs_hh_pop(t, y, args):
     return jnp.stack([dadt, drdt], axis=-1)
 
 
-def make_objective(d3: jnp.ndarray, d5: jnp.ndarray, pop: int):
-    """Whole-population whole-trace SSE: per sweep ONE batched-lane solve
-    (solver/batched.py — in-place dense buffers, no per-lane scatters),
-    chained across the 16 sweeps like the reference's continuous trace
-    (train-d0.py:489-502)."""
-    from ionflux.solver import odeint_batched
-
-    v3 = jax.vmap(lambda pr: P.voltage(pr, TS3))(ACT)
-    v5 = jax.vmap(lambda pr: P.voltage(pr, TS5))(DEACT)
+def make_objective(d3: np.ndarray, d5: np.ndarray, pop: int):
+    """Whole-population whole-trace SSE on the [::10] lattice: per sweep ONE
+    adaptive batched-lane solve (solver/batched.py), state chained across
+    sweeps AND across the Pr3->Pr5 boundary (the reference integrates the
+    concatenation as a single trace, train-d0.py:487-505)."""
+    blocks = []
+    for name, d in (("pr3-cell5", d3), ("pr5-cell5", d5)):
+        protos, ts, n_sweeps, period = _sweep_protos(name)
+        v = jax.vmap(lambda pr: P.voltage(pr, ts))(protos)
+        blocks.append((protos, ts, n_sweeps, period,
+                       jnp.asarray(v[:, :-1], jnp.float32),
+                       jnp.asarray(d, jnp.float32)))
 
     def sse_pop(xs):
         y = jnp.tile(jnp.array([0.0, 1.0], jnp.float32), (pop, 1))
-
-        def sweep(carry, inp):
-            y, acc = carry
-            proto, v_row, d_row, ts = inp
-            ys = odeint_batched(_rhs_hh_pop, y, ts, (xs, proto),
-                                rtol=1e-5, atol=1e-7, buffer_size=4096)
-            i_sim = ys[:, :, 0] * ys[:, :, 1] * (v_row[None] - SYNTHETIC.e)
-            acc = acc + jnp.sum((i_sim - d_row[None]) ** 2, axis=1)
-            return (ys[:, -1, :], acc), None
-
         acc = jnp.zeros((pop,), jnp.float32)
-        for k in range(ACT.v.shape[0]):
-            (y, acc), _ = sweep((y, acc),
-                                (jax.tree.map(lambda a: a[k], ACT), v3[k],
-                                 d3[k], TS3))
-        for k in range(DEACT.v.shape[0]):
-            (y, acc), _ = sweep((y, acc),
-                                (jax.tree.map(lambda a: a[k], DEACT), v5[k],
-                                 d5[k], TS5))
+        for protos, ts, n_sweeps, period, v, d in blocks:
+            def sweep(carry, inp, ts=ts):
+                y, _ = carry
+                proto_k, v_row = inp
+                ys = odeint_batched(_rhs_hh_pop, y, ts, (xs, proto_k),
+                                    rtol=1e-5, atol=1e-7, buffer_size=8192,
+                                    max_steps=200_000)
+                i_sim = (ys[:, :-1, 0] * ys[:, :-1, 1]
+                         * (v_row[None] - SYNTHETIC.e))
+                return (ys[:, -1, :], 0.0), i_sim
+
+            (y, _), i_all = jax.lax.scan(sweep, (y, 0.0), (protos, v))
+            # [n_sweeps, pop, period] -> flat [pop, N] -> global [::10]
+            i_flat = jnp.moveaxis(i_all, 1, 0).reshape(
+                pop, n_sweeps * period)[:, ::SUB]
+            acc = acc + jnp.sum((i_flat - d[None]) ** 2, axis=1)
         return jnp.where(jnp.isfinite(acc), acc, jnp.inf)
 
     batched = jax.jit(sse_pop)
@@ -156,9 +179,7 @@ def make_objective(d3: jnp.ndarray, d5: jnp.ndarray, pop: int):
 
 
 def main():
-    i3, i5 = generate_data()
-    d3 = jnp.asarray(i3, jnp.float32)
-    d5 = jnp.asarray(i5, jnp.float32)
+    d3, d5 = generate_data()
 
     pop = 4 + int(3 * np.log(len(P0)))  # CMA-ES default population
     objective = make_objective(d3, d5, pop)
@@ -179,9 +200,10 @@ def main():
     with open(os.path.join(OUT, "model-parameters.txt"), "w") as fh:
         for v in res.x:
             fh.write(f"{v:.18e}\n")
-    ref = [5.694588454735844622e-05, 1.172955815858964107e-01,
-           3.522672347205991382e-05, 4.972513487995382231e-02]
-    print("reference d0 fit:   ", np.array(ref))
+    ref = np.array([5.694588454735844622e-05, 1.172955815858964107e-01,
+                    3.522672347205991382e-05, 4.972513487995382231e-02])
+    print("reference d0 fit:   ", ref)
+    print("ratio found/ref:    ", res.x / ref)
 
 
 if __name__ == "__main__":
