@@ -295,6 +295,69 @@ def measure_pallas_sweep() -> dict:
             "pallas_sweep_batch": b}
 
 
+def measure_pallas_popsweep() -> dict:
+    """Third metric: the fused population x protocol-sweep solve (64 member
+    nets x 8 sinewave variants = 512 concurrent solves, one launch) — the
+    checkpoint-validation / ensemble-replay workload.  The Q protocol rows
+    ride the MXU M dimension, fixing the per-member pop kernel's M=1
+    batched-matmul wall (ops/pallas_solve.fused_nnf_popsweep_solve_ft)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(BASELINE_FILE),
+                                   ".jax_cache"))
+
+    from ionflux.models import nnf_init
+    from ionflux.models.registry import HH_B06
+    from ionflux.ops.pallas_solve import fused_nnf_popsweep_solve_ft
+
+    p_mem, q = 64, 8
+    knots = np.linspace(0.0, 8000.0, 80001)
+    # Q distinct waveforms SHARING segment boundaries (amplitude/frequency
+    # scaled per row): distinct work per row without staggering the
+    # discontinuities the shared controller must resolve
+    rows = []
+    for j in range(q):
+        s = 1.0 + 0.06 * j
+        v = np.full(knots.shape, -80.0)
+        v[(knots >= 250) & (knots < 300)] = -120.0
+        v[(knots >= 500) & (knots < 1000)] = 40.0
+        m = (knots >= 1000) & (knots < 7000)
+        tm = knots[m] - 1000.0
+        v[m] = (-30.0 + 54.0 * np.sin(0.007 * s * tm)
+                + 26.0 * np.sin(0.037 * tm) + 10.0 * np.sin(0.19 * tm))
+        rows.append(v)
+    protos_v = jnp.asarray(np.stack(rows), jnp.float32)
+    ts = jnp.linspace(0.0, 8000.0, N_OUT, dtype=jnp.float32)
+
+    base = nnf_init(jax.random.PRNGKey(0), HH_B06)
+    keys = jax.random.split(jax.random.PRNGKey(1), p_mem)
+    pop_net = jax.vmap(
+        lambda k: jax.tree.map(
+            lambda x: x * (1.0 + 0.01 * jax.random.normal(k, x.shape)),
+            base.net)
+    )(keys)
+
+    fused = jax.jit(lambda ns: fused_nnf_popsweep_solve_ft(
+        [(w, bb) for w, bb in ns], HH_B06, protos_v, ts, proto_dt=0.1,
+        trips=4096, t_end=8000.0))
+    ys = fused(pop_net)
+    ys.block_until_ready()
+    assert bool(jnp.all(jnp.isfinite(ys))), "pallas popsweep solve diverged"
+    t0 = time.perf_counter()
+    for _ in range(3):
+        ys = fused(pop_net)
+    ys.block_until_ready()
+    dt = (time.perf_counter() - t0) / 3
+    sps = p_mem * q / dt
+    log(f"pallas-ft popsweep: {p_mem}x{q} = {p_mem*q} solves in "
+        f"{dt*1e3:.1f} ms -> {sps:.1f} solves/s")
+    return {"pallas_popsweep_solves_per_sec": round(sps, 1),
+            "pallas_popsweep_members": p_mem,
+            "pallas_popsweep_protocols": q}
+
+
 def measure_torch_cpu_baseline() -> float:
     """Reference-style runtime: torch MLP + per-eval scipy interp1d round
     trip + adaptive dopri5 (torchdiffeq defaults rtol 1e-7/atol 1e-9)."""
@@ -512,6 +575,15 @@ def main():
                     rec.update(prec)
                 elif perr:
                     log(f"pallas sweep metric skipped: {perr}")
+            # third metric: population x protocol-sweep kernel (bounded the
+            # same way; its cache-miss Mosaic compile takes minutes)
+            if remaining() > 150.0:
+                prec, perr = _run_measure_subprocess(
+                    "popsweep", max(120.0, remaining() - 30.0))
+                if prec is not None:
+                    rec.update(prec)
+                elif perr:
+                    log(f"pallas popsweep metric skipped: {perr}")
             emit(rec.pop("solves_per_sec"), baseline, **rec)
             return
     else:
@@ -551,6 +623,8 @@ if __name__ == "__main__":
         backend = sys.argv[sys.argv.index("--measure") + 1]
         if backend == "pallas":
             rec = measure_pallas_sweep()
+        elif backend == "popsweep":
+            rec = measure_pallas_popsweep()
         else:
             rec = measure_tpu(force_cpu=(backend == "cpu"))
         print(json.dumps(rec), flush=True)

@@ -129,6 +129,47 @@ def simulate_family(kind: str, params, protos: list[P.Protocol],
     return jnp.stack([simulate(kind, params, pr, ts, c, **kw) for pr in protos])
 
 
+def simulate_population(kind: str, pop_params, protos: list[P.Protocol],
+                        ts: jnp.ndarray, c: Constants,
+                        **kw) -> jnp.ndarray:
+    """Currents for a POPULATION of nets over a protocol family ->
+    [P, Q, T]: the checkpoint-validation / seed-ensemble replay workload
+    (reference analogue: train-r1.py:928-959 scores candidate nets by
+    rollout).  Runs the fused popsweep Pallas kernel
+    (ops/pallas_solve.fused_nnf_popsweep_solve_ft): P member nets x Q
+    protocols in ONE launch, protocol rows riding the MXU M dimension —
+    ~9x the per-member pop kernel on chip.
+
+    pop_params: an NNfParams/NNdParams whose net leaves carry a leading
+    population axis (e.g. from jax.vmap(nnf_init) or stacked checkpoints);
+    rgate/hh scalars are shared across members.  NN-f/NN-d only.
+    """
+    if kind not in ("nnf", "nnd"):
+        raise ValueError("simulate_population supports the MLP families "
+                         "(nnf/nnd) only")
+    from ionflux.ops.pallas_solve import fused_nnf_popsweep_solve_ft
+
+    def shared(tree):
+        # gate params are shared across members; a vmapped init carries
+        # them with the population axis — collapse to member 0's scalars
+        return jax.tree.map(
+            lambda x: x[0] if getattr(x, "ndim", 0) > 0 else x, tree)
+
+    b = P.stack(protos)
+    hh = None if kind == "nnf" else shared(pop_params.hh)
+    ys = fused_nnf_popsweep_solve_ft(
+        [(w, bb) for w, bb in pop_params.net],
+        shared(pop_params.rgate) if kind == "nnf" else hh, b.v, ts,
+        proto_t0=float(protos[0].t0), proto_dt=float(protos[0].dt),
+        t_end=float(ts[-1]),
+        rtol=kw.get("rtol", 1e-5), atol=kw.get("atol", 1e-7),
+        trips=kw.get("trips", 4096),
+        base_hh=hh,
+        interpret=kw.get("interpret", False))                  # [P, Q, T, 2]
+    v = jax.vmap(lambda pr: P.voltage(pr, ts))(b)              # [Q, T]
+    return gate_current(ys, v[None], c)
+
+
 def report_mae(name: str, pred: jnp.ndarray, truth: jnp.ndarray,
                fmt: str = "{name} | Total Loss {loss:.6f}") -> float:
     """Print the reference's per-protocol loss line (train-s1.py:330 etc.)."""

@@ -749,3 +749,288 @@ def fused_nnf_pop_solve_ft(
 
     return _dense_eval_ft(rec_sc, rec_y, rec_k, n_acc[0, 0], n_acc[0, 1],
                           ts.astype(jnp.float32), b)
+
+
+# ---------------------------------------------------------------------------
+# Population x protocol-sweep variant: P member nets, EACH solved on Q
+# protocols simultaneously.  This is the checkpoint-validation / ensemble
+# workload the default training recipe ships (studies.run_study_validated
+# scores every candidate checkpoint on a protocol replay set; reference
+# analogue: train-r1.py:928-959 validation rollouts) and the multi-protocol
+# CMA-ES objective shape (train-d0.py:465-492 evaluates each member on
+# Pr3+Pr5 from rest).
+#
+# Why it beats the per-lane pop kernel: with ONE protocol per member the MLP
+# is a batched dot_general of shape [P, 1, n] x [P, n, m] — the M=1 row pads
+# to the full 8-sublane MXU tile, so 7/8 of the systolic array idles (the
+# measured residual wall, ROADMAP "Performance").  Putting the Q protocol
+# rows in M fills the tile: [P, Q, n] x [P, n, m] does Q solves' worth of
+# RHS work in the SAME padded matmul for Q <= 8.
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
+                             dt_knot: float, t_end: float, rgate: tuple,
+                             rtol: float, atol: float, trips: int, p: int,
+                             q: int, block: int, base_a: tuple = ()):
+    p5, p6, p7, p8 = rgate
+    inv_dt = 1.0 / dt_knot
+    A = [[float(x) for x in row] for row in _A]
+    C = [float(x) for x in _C]
+    BS = [float(x) for x in _B_SOL]
+    BE = [float(x) for x in _B_ERR]
+
+    def kernel(v_ref, *refs):
+        w_refs = refs[:n_layers]
+        b_refs = refs[n_layers:2 * n_layers]
+        rec_sc, rec_y, rec_k, n_out_ref = refs[2 * n_layers:2 * n_layers + 4]
+        vm_sc, vm_y, vm_k, sems = refs[2 * n_layers + 4:]
+
+        def voltage(t):
+            # Q per-protocol knot rows, one shared clock: [Q] voltages
+            x = (t - t0) * inv_dt
+            ii = jnp.clip(jnp.floor(x).astype(jnp.int32), 0,
+                          n_knots_padded - 130)
+            w = x - ii.astype(jnp.float32)
+            base = pl.multiple_of((ii // 128) * 128, 128)
+            off = ii - base
+            chunk = v_ref[:, pl.ds(base, 256)]                  # [Q, 256]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+            v0 = jnp.sum(jnp.where(lane == off, chunk, 0.0), axis=1)
+            v1 = jnp.sum(jnp.where(lane == off + 1, chunk, 0.0), axis=1)
+            return v0 + w * (v1 - v0)                           # [Q]
+
+        def mlp(x):                                             # x [P, Q, n]
+            h = x
+            for li, (wr, br) in enumerate(zip(w_refs, b_refs)):
+                h = jax.lax.dot_general(
+                    h, wr[...], (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)         # [P, Q, m]
+                h = h + br[...][:, None, :]
+                if li < n_layers - 1:
+                    h = jnp.where(h >= 0, h, 0.01 * h)
+            return h                                            # [P, Q, 1]
+
+        def rhs(t, y):                                          # y [P, Q, 2]
+            v = voltage(t)                                      # [Q]
+            vn = jnp.broadcast_to(v[None, :] / VRANGE, (p, q))
+            x = jnp.stack([vn, y[:, :, 0]], axis=-1)
+            dadt = mlp(x)[:, :, 0] / NETSCALE                   # [P, Q]
+            if base_a:
+                p1, p2, p3, p4 = base_a
+                k1 = p1 * jnp.exp(p2 * v)
+                k2 = p3 * jnp.exp(-p4 * v)
+                dadt = (dadt + k1[None] * (1.0 - y[:, :, 0])
+                        - k2[None] * y[:, :, 0])
+            k3 = p5 * jnp.exp(p6 * v)
+            k4 = p7 * jnp.exp(-p8 * v)
+            drdt = -k3[None] * y[:, :, 1] + k4[None] * (1.0 - y[:, :, 1])
+            return jnp.stack([dadt, drdt], axis=-1)
+
+        y0 = jnp.concatenate(
+            [jnp.zeros((p, q, 1), jnp.float32),
+             jnp.ones((p, q, 1), jnp.float32)], axis=-1)
+        f0 = rhs(jnp.float32(t0), y0)
+
+        def _pad_rec(arr):
+            # [P, Q, 2] -> [Q*2, 128]: (protocol, state) in sublanes,
+            # members in lanes (padded)
+            at = jnp.transpose(arr, (1, 2, 0)).reshape(q * 2, p)
+            if p == 128:
+                return at
+            return jnp.concatenate(
+                [at, jnp.zeros((q * 2, 128 - p), jnp.float32)], axis=1)
+
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)[0]
+
+        def body(i, state):
+            (t, y, f, h, n_acc, t_la, h_la, y_la, ks_la) = state
+            h_eff = jnp.maximum(jnp.minimum(h, t_end - t), 1e-8)
+            ks = [f]
+            for si in range(1, 7):
+                yi = y
+                for sj in range(si):
+                    if A[si][sj] != 0.0:
+                        yi = yi + (h_eff * A[si][sj]) * ks[sj]
+                ks.append(rhs(t + C[si] * h_eff, yi))
+            y1 = y
+            err = jnp.zeros_like(y)
+            for sj in range(7):
+                if BS[sj] != 0.0:
+                    y1 = y1 + (h_eff * BS[sj]) * ks[sj]
+                if BE[sj] != 0.0:
+                    err = err + (h_eff * BE[sj]) * ks[sj]
+            scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
+            ratio = jnp.sqrt(jnp.max(jnp.mean((err / scale) ** 2, axis=-1)))
+            finite = jnp.all(jnp.isfinite(y1)) & jnp.isfinite(ratio)
+            accept = (ratio <= 1.0) & finite
+            t_la = jnp.where(accept, t, t_la)
+            h_la = jnp.where(accept, h_eff, h_la)
+            y_la = jnp.where(accept, _pad_rec(y), y_la)
+            ks_new = jnp.stack([_pad_rec(k) for k in ks])   # [7, Q*2, 128]
+            ks_la = jnp.where(accept, ks_new, ks_la)
+            sc = jnp.where(lane128 == 0, t_la,
+                           jnp.where(lane128 == 1, h_la, 0.0))
+            vm_sc[pl.ds(i, 1), :] = sc[None]
+            vm_y[pl.ds(i, 1), :, :] = y_la[None]
+            vm_k[pl.ds(i, 1), :, :, :] = ks_la[None]
+            t = jnp.where(accept, t + h_eff, t)
+            y = jnp.where(accept, y1, y)
+            f = jnp.where(accept, ks[6], f)
+            n_acc = n_acc + accept.astype(jnp.int32)
+            factor = _SAFETY * jnp.exp(
+                -0.2 * jnp.log(jnp.maximum(ratio, 1e-10)))
+            factor = jnp.where(jnp.isfinite(factor), factor, _MINF)
+            h = h_eff * jnp.clip(factor, _MINF,
+                                 jnp.where(accept, _MAXF, 1.0))
+            return (t, y, f, h, n_acc, t_la, h_la, y_la, ks_la)
+
+        init = (jnp.float32(t0), y0, f0, jnp.float32(dt_knot * 10.0),
+                jnp.int32(0), jnp.float32(t0), jnp.float32(1e-8),
+                _pad_rec(y0), jnp.stack([_pad_rec(f0)] * 7))
+        assert trips % block == 0
+        n_blocks = trips // block
+
+        def blk_cond(state):
+            blk, st = state
+            return (blk < n_blocks) & (st[0] < t_end) & jnp.all(
+                jnp.isfinite(st[1]))
+
+        def blk_body(state):
+            blk, st = state
+            st = jax.lax.fori_loop(0, block, lambda j, s: body(j, s), st)
+            base = blk * block
+            c0 = pltpu.make_async_copy(
+                vm_sc, rec_sc.at[pl.ds(base, block)], sems.at[0])
+            c1 = pltpu.make_async_copy(
+                vm_y, rec_y.at[pl.ds(base, block)], sems.at[1])
+            c2 = pltpu.make_async_copy(
+                vm_k, rec_k.at[pl.ds(base, block)], sems.at[2])
+            c0.start()
+            c1.start()
+            c2.start()
+            c0.wait()
+            c1.wait()
+            c2.wait()
+            return blk + 1, st
+
+        _blk, (t, y, f, h, n_acc, *_r) = jax.lax.while_loop(
+            blk_cond, blk_body, (jnp.int32(0), init))
+        ok = (t >= t_end) & jnp.all(jnp.isfinite(y))
+        n_out_ref[0, 0] = jnp.where(ok, n_acc, -jnp.maximum(n_acc, 1))
+        n_out_ref[0, 1] = _blk * block
+
+    return kernel
+
+
+def fused_nnf_popsweep_solve_ft(
+    nets,                           # pytree: [(W [P,i,o], b [P,o]), ...]
+    rgate: HHParams,
+    protos_v: jnp.ndarray,          # [Q, N] per-protocol knot voltages
+    ts: jnp.ndarray,                # [T] output times (ascending)
+    *,
+    proto_t0: float = 0.0,
+    proto_dt: float = 0.1,
+    t_end: float | None = None,
+    rtol: float = 1e-5,
+    atol: float = 1e-7,
+    trips: int = 2048,
+    base_hh: HHParams | None = None,
+    interpret: bool = False,
+):
+    """Fixed-trip fused solve for P member nets x Q protocols concurrently
+    (P*Q solves per launch).  Protocols share the clock: pad shorter ones to
+    a common t_end with their holding potential and query only each
+    protocol's own times.  base_hh switches to the NN-d family (MLP as an
+    additive correction to the analytic p1-p4 a-gate, r-gate from base_hh).
+    Returns ys [P, Q, T, 2]."""
+    p = nets[0][0].shape[0]
+    q_req, n = protos_v.shape
+    assert p <= 128, "member padding targets one 128-lane tile"
+    # Mosaic requires the 2Q sublane dim to be a power of two (Q in
+    # {3,5,6} hard-fault the chip backend): pad Q by duplicating the last
+    # protocol row and slice the members' rows back at the end
+    q = max(2, 1 << (q_req - 1).bit_length())
+    if q != q_req:
+        protos_v = jnp.concatenate(
+            [protos_v,
+             jnp.broadcast_to(protos_v[-1:], (q - q_req, n))], axis=0)
+    t_end = float(t_end) if t_end is not None else float(ts[-1])
+    n_pad = ((n + 127) // 128) * 128 + 256
+    vpad = jnp.concatenate(
+        [protos_v.astype(jnp.float32),
+         jnp.broadcast_to(protos_v[:, -1:].astype(jnp.float32),
+                          (q, n_pad - n))], axis=1)
+    ws = [w.astype(jnp.float32) for w, _ in nets]
+    bs = [bb.astype(jnp.float32) for _, bb in nets]
+
+    # VMEM record ring: block sized so the K ring (block * 7 * 2Q * 128 f32)
+    # stays well under the scoped-stack limit alongside the resident weights
+    block = 256
+    while block > 32 and block * 7 * 2 * q * 128 * 4 > 6 * 1024 * 1024:
+        block //= 2
+    trips = -(-int(trips) // block) * block
+
+    gate = base_hh if base_hh is not None else rgate
+    kernel = _make_kernel_popsweep_ft(
+        len(ws), n_pad, float(proto_t0), float(proto_dt), t_end,
+        tuple(float(x) for x in (gate.p5, gate.p6, gate.p7, gate.p8)),
+        float(rtol), float(atol), int(trips), p, q, block,
+        base_a=(tuple(float(x) for x in
+                      (base_hh.p1, base_hh.p2, base_hh.p3, base_hh.p4))
+                if base_hh is not None else ()))
+
+    rec_sc, rec_y, rec_k, n_acc = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((trips, 128), jnp.float32),
+            jax.ShapeDtypeStruct((trips, 2 * q, 128), jnp.float32),
+            jax.ShapeDtypeStruct((trips, 7, 2 * q, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + 2 * len(ws)),
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block, 128), jnp.float32),
+            pltpu.VMEM((block, 2 * q, 128), jnp.float32),
+            pltpu.VMEM((block, 7, 2 * q, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(vpad, *ws, *bs)
+
+    ys = _dense_eval_popsweep_ft(rec_sc, rec_y, rec_k, n_acc[0, 0],
+                                 n_acc[0, 1], ts.astype(jnp.float32), p, q)
+    return ys[:, :q_req]
+
+
+@partial(jax.jit, static_argnames=("p", "q"))
+def _dense_eval_popsweep_ft(rec_sc, rec_y, rec_k, n_acc, n_valid, ts, p, q):
+    """Phase 2 for the popsweep record stream ([trips, ..., Q*2, 128]
+    layout: (protocol, state) sublanes x member lanes)."""
+    ok = n_acc > 0
+    big = jnp.float32(3.4e38)
+    t_rec = jnp.where(jnp.arange(rec_sc.shape[0]) < n_valid,
+                      rec_sc[:, 0], big)
+    idx = jnp.clip(jnp.searchsorted(t_rec, ts, side="right") - 1, 0,
+                   rec_sc.shape[0] - 1)
+    t0s = rec_sc[idx, 0]
+    hs = jnp.maximum(rec_sc[idx, 1], 1e-20)
+    th = jnp.clip((ts - t0s) / hs, 0.0, 1.0)
+    tp = jnp.stack([th, th ** 2, th ** 3, th ** 4], axis=-1)
+    bpoly = tp @ jnp.asarray(_P_DENSE, jnp.float32).T              # [T, 7]
+    t_n = ts.shape[0]
+    kk = rec_k[idx].reshape(t_n, 7, q, 2, 128)[..., :p]   # [T,7,Q,2,P]
+    y0s = rec_y[idx].reshape(t_n, q, 2, 128)[..., :p]     # [T,Q,2,P]
+    ys = y0s + hs[:, None, None, None] * jnp.einsum(
+        "tj,tjqsp->tqsp", bpoly, kk)
+    ys = jnp.transpose(ys, (3, 1, 0, 2))                  # [P, Q, T, 2]
+    return jnp.where(ok, ys, jnp.full_like(ys, jnp.inf))

@@ -149,3 +149,121 @@ def test_fused_fixed_trip_solve_nnd_family():
     ix = simulate_family("nnd", params, protos, ts, SYNTHETIC)
     assert bool(jnp.all(jnp.isfinite(ip)))
     assert float(jnp.max(jnp.abs(ip - ix))) < 5e-3
+
+
+def test_fused_nnf_popsweep_solve_matches_batched_lockstep():
+    """Population x protocol-sweep kernel (P member nets x Q protocols,
+    protocol rows riding the MXU M dimension) vs the XLA batched-lane
+    solver on the flattened (member, protocol) cross product."""
+    from ionflux.models.registry import NETSCALE, VRANGE
+    from ionflux.ops.pallas_solve import fused_nnf_popsweep_solve_ft
+    from ionflux.solver import odeint_batched
+
+    p_mem, q = 3, 2
+    keys = jax.random.split(jax.random.PRNGKey(1), p_mem)
+    pop_net = jax.vmap(
+        lambda k: nnf_init(k, HH_B06, n_layers=1, n_nodes=16).net)(keys)
+    nets = [(w, b) for w, b in pop_net]
+    levels = (-40.0, 20.0)
+    protos = P.stack([P.activation_protocol(v, dt_ms=1.0) for v in levels])
+    ts = jnp.linspace(0.0, 8000.0, 161, jnp.float32)
+    ys = fused_nnf_popsweep_solve_ft(nets, HH_B06, protos.v, ts,
+                                     proto_dt=1.0, trips=2048,
+                                     interpret=True)
+    assert ys.shape == (p_mem, q, 161, 2)
+    assert bool(jnp.all(jnp.isfinite(ys)))
+
+    def rhs(t, y, args):
+        nets_, prs = args
+        v = jax.vmap(lambda vv, tt0, dd: P.voltage(
+            P.Protocol(t0=tt0, dt=dd, v=vv), t))(prs.v, prs.t0, prs.dt)
+        h = jnp.stack([v / VRANGE, y[:, 0]], axis=-1)
+        for wi, (w, bb) in enumerate(nets_):
+            h = jnp.einsum("bi,bio->bo", h, w) + bb
+            if wi < len(nets_) - 1:
+                h = jnp.where(h >= 0, h, 0.01 * h)
+        dadt = h[:, 0] / NETSCALE
+        k3 = HH_B06.p5 * jnp.exp(HH_B06.p6 * v)
+        k4 = HH_B06.p7 * jnp.exp(-HH_B06.p8 * v)
+        drdt = -k3 * y[:, 1] + k4 * (1.0 - y[:, 1])
+        return jnp.stack([dadt, drdt], axis=-1)
+
+    flat_nets = [(jnp.repeat(w, q, axis=0), jnp.repeat(b, q, axis=0))
+                 for w, b in nets]
+    protos_flat = P.stack([P.activation_protocol(v, dt_ms=1.0)
+                           for v in levels] * p_mem)
+    y0b = jnp.tile(jnp.array([0.0, 1.0], jnp.float32), (p_mem * q, 1))
+    ref = odeint_batched(rhs, y0b, ts, (flat_nets, protos_flat),
+                         rtol=1e-5, atol=1e-7)
+    ref = ref.reshape(p_mem, q, *ref.shape[1:])
+    assert float(jnp.max(jnp.abs(ys - ref))) < 5e-3
+
+
+def test_fused_nnd_popsweep_solve_family():
+    """NN-d mode of the popsweep kernel: additive correction to the
+    analytic a-gate, one member vs the XLA NN-d family solve."""
+    from ionflux.eval import simulate_family
+    from ionflux.models import nnd_init
+    from ionflux.models.registry import SYNTHETIC
+    from ionflux.ops.pallas_solve import fused_nnf_popsweep_solve_ft
+    from ionflux.observe import gate_current
+
+    params = nnd_init(jax.random.PRNGKey(3), HH_B06, n_layers=1, n_nodes=16,
+                      std=0.05)
+    levels = (-40.0, 20.0)
+    protos = [P.activation_protocol(v, dt_ms=1.0) for v in levels]
+    stacked = P.stack(protos)
+    ts = jnp.linspace(0.0, 8000.0, 161, jnp.float32)
+    nets1 = [(w[None], b[None]) for w, b in params.net]   # P=1 member
+    ys = fused_nnf_popsweep_solve_ft(nets1, params.hh, stacked.v, ts,
+                                     proto_dt=1.0, trips=2048,
+                                     base_hh=params.hh, interpret=True)
+    i_pal = jnp.stack([
+        gate_current(ys[0, j], P.voltage(protos[j], ts), SYNTHETIC)
+        for j in range(len(protos))])
+    i_ref = simulate_family("nnd", params, protos, ts, SYNTHETIC)
+    assert bool(jnp.all(jnp.isfinite(i_pal)))
+    assert float(jnp.max(jnp.abs(i_pal - i_ref))) < 5e-3
+
+
+def test_simulate_population_matches_family():
+    """eval.simulate_population (popsweep kernel) == per-member
+    simulate_family currents."""
+    from ionflux.eval import simulate_family, simulate_population
+    from ionflux.models.registry import SYNTHETIC
+
+    p_mem = 2
+    keys = jax.random.split(jax.random.PRNGKey(5), p_mem)
+    pop = jax.vmap(lambda k: nnf_init(k, HH_B06, n_layers=1,
+                                      n_nodes=16))(keys)
+    protos = [P.activation_protocol(v, dt_ms=1.0) for v in (-40.0, 20.0)]
+    ts = jnp.linspace(0.0, 8000.0, 161, jnp.float32)
+    i_pop = simulate_population("nnf", pop, protos, ts, SYNTHETIC,
+                                trips=2048, interpret=True)
+    assert i_pop.shape == (p_mem, len(protos), 161)
+    for m in range(p_mem):
+        member = jax.tree.map(lambda x: x[m], pop)
+        i_ref = simulate_family("nnf", member, protos, ts, SYNTHETIC)
+        assert float(jnp.max(jnp.abs(i_pop[m] - i_ref))) < 5e-3
+
+
+def test_popsweep_odd_q_padding():
+    """Q not a power of two pads the protocol rows (Mosaic hard-faults on
+    2Q sublane dims like 6) and slices back: Q=3 == the Q=2 rows plus the
+    extra level, each matching the per-member family solve."""
+    from ionflux.eval import simulate_family, simulate_population
+    from ionflux.models.registry import SYNTHETIC
+
+    pop = jax.vmap(lambda k: nnf_init(k, HH_B06, n_layers=1,
+                                      n_nodes=16))(
+        jax.random.split(jax.random.PRNGKey(7), 2))
+    levels = (-40.0, 0.0, 20.0)
+    protos = [P.activation_protocol(v, dt_ms=1.0) for v in levels]
+    ts = jnp.linspace(0.0, 8000.0, 161, jnp.float32)
+    i_pop = simulate_population("nnf", pop, protos, ts, SYNTHETIC,
+                                trips=2048, interpret=True)
+    assert i_pop.shape == (2, 3, 161)
+    member = jax.tree.map(lambda x: x[0], pop)
+    i_ref = simulate_family("nnf", member, protos, ts, SYNTHETIC)
+    assert bool(jnp.all(jnp.isfinite(i_pop)))
+    assert float(jnp.max(jnp.abs(i_pop[0] - i_ref))) < 5e-3

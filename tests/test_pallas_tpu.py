@@ -170,3 +170,21 @@ def test_fused_fixed_trip_nnd_mosaic_runs():
     ix = np.asarray(simulate_family("nnd", params, protos, ts, SYNTHETIC))
     assert np.isfinite(ip).all()
     assert float(np.max(np.abs(ip - ix))) < 5e-3
+
+
+def test_fused_popsweep_mosaic_runs():
+    """Population x protocol-sweep kernel through real Mosaic (protocol
+    rows in the batched-matmul M dimension)."""
+    from ionflux.eval import simulate_population
+    from ionflux.models import nnf_init
+    from ionflux.models.registry import SYNTHETIC
+
+    keys = jax.random.split(jax.random.PRNGKey(5), 4)
+    pop = jax.vmap(lambda k: nnf_init(k, HH_B06))(keys)
+    protos = [P.activation_protocol(v, dt_ms=1.0) for v in (-40.0, 20.0)]
+    ts = jnp.linspace(0.0, 8000.0, 161, jnp.float32)
+    with jax.default_device(tpu()):
+        i_pop = np.asarray(simulate_population("nnf", pop, protos, ts,
+                                               SYNTHETIC, trips=2048))
+    assert i_pop.shape == (4, 2, 161)
+    assert np.isfinite(i_pop).all()
