@@ -8,6 +8,8 @@ Model kinds mirror the reference classes: 'hh' (Lambda), 'markov'
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -168,6 +170,118 @@ def simulate_population(kind: str, pop_params, protos: list[P.Protocol],
         interpret=kw.get("interpret", False))                  # [P, Q, T, 2]
     v = jax.vmap(lambda pr: P.voltage(pr, ts))(b)              # [Q, T]
     return gate_current(ys, v[None], c)
+
+
+def simulate_population_real(kind: str, pop_params, names: list[str],
+                             c: Constants, *, trips: int = 6144,
+                             seg_samples: int = 103_224,
+                             rtol: float = 1e-5, atol: float = 1e-7,
+                             interpret: bool = False,
+                             chunk: int = 4096) -> dict:
+    """Currents for a POPULATION of nets on the named reconstructed REAL
+    protocols -> {name: [P, N] at every 0.1 ms sample}: the popsweep
+    kernel chained over ~10 s segments with local f32 clocks (the Pallas
+    counterpart of solve_states_long; a global f32 clock infs out on the
+    58-93 s recordings).  All P members x all Q protocols advance in the
+    SAME launches — protocols shorter than the longest integrate on at
+    their final holding value (near-equilibrium, so they add no controller
+    work) and are sliced back to their own length.
+
+    The checkpoint-validation workload (studies.table_rollout_maes over
+    stacked candidate nets; reference analogue train-r1.py:928-959).
+    NN-f/NN-d only."""
+    if kind not in ("nnf", "nnd"):
+        raise ValueError("simulate_population_real supports the MLP "
+                         "families (nnf/nnd) only")
+    from ionflux import protorec
+    from ionflux.ops.pallas_solve import fused_nnf_popsweep_chained
+
+    def shared(tree):
+        return jax.tree.map(
+            lambda x: x[0] if getattr(x, "ndim", 0) > 0 else x, tree)
+
+    vs, lens = [], []
+    dt = None
+    for n in names:
+        v, dti = protorec.load_voltage(n)
+        assert dt is None or dti == dt
+        dt = dti
+        vs.append(np.asarray(v, np.float32))
+        lens.append(len(v))
+    max_len = max(lens)
+    seg = min(int(seg_samples), max_len)
+    n_seg = -(-max_len // seg)
+    padded = np.empty((len(names), n_seg * seg + 1), np.float32)
+    for i, v in enumerate(vs):
+        padded[i, :lens[i]] = v
+        padded[i, lens[i]:] = v[-1]
+    seg_v = np.stack([padded[:, b * seg:b * seg + seg + 1]
+                      for b in range(n_seg)])            # [B, Q, seg+1]
+
+    p_mem = pop_params.net[0][0].shape[0]
+    hh = None if kind == "nnf" else shared(pop_params.hh)
+    out = {n: np.empty((p_mem, ln), np.float32)
+           for n, ln in zip(names, lens)}
+
+    # per-segment sample voltages, edge-padded to whole chunks so the
+    # jitted lax.map currents pass is ONE dispatch + ONE transfer per
+    # segment (a python chunk loop costs ~250 tunnel round-trips)
+    n_ch = -(-seg // chunk)
+    vsegs = np.empty((n_seg, len(names), n_ch * chunk), np.float32)
+    for b in range(n_seg):
+        end = min(b * seg + n_ch * chunk, padded.shape[1])
+        vsegs[b, :, :end - b * seg] = padded[:, b * seg:end]
+        vsegs[b, :, end - b * seg:] = padded[:, -1:]
+    fin = {}
+
+    def consume(b, recs):
+        # deadness propagates through the chain (final_state carries NaN),
+        # so the LAST segment's mask is the cumulative survival flag
+        fin["mask"] = recs.mask[:, :len(names)]
+        ii = _popsweep_segment_currents(
+            recs.rec_sc, recs.rec_y, recs.rec_k, recs.n_acc, recs.n_valid,
+            recs.mask, jnp.asarray(vsegs[b]), jnp.float32(dt), c,
+            recs.p, recs.q, len(names), n_ch, chunk)
+        ii = np.asarray(ii)                              # [P, Q, n_ch*chunk]
+        g0 = b * seg
+        for qi, n in enumerate(names):
+            lo, hi = g0, min(g0 + seg, lens[qi])
+            if lo < hi:
+                out[n][:, lo:hi] = ii[:, qi, :hi - lo]
+
+    fused_nnf_popsweep_chained(
+        [(w, bb) for w, bb in pop_params.net],
+        shared(pop_params.rgate) if kind == "nnf" else hh,
+        jnp.asarray(seg_v), proto_dt=float(dt), t_end=seg * float(dt),
+        rtol=rtol, atol=atol, trips=trips, base_hh=hh,
+        interpret=interpret, consume=consume)
+    # a (member, protocol) lane that died at ANY point scores inf over its
+    # whole trace (the "non-finite rollouts score inf" selection rule)
+    m = np.asarray(fin["mask"])
+    for qi, n in enumerate(names):
+        out[n][~m[:, qi]] = np.inf
+    return out
+
+
+@partial(jax.jit, static_argnames=("p", "q", "q_req", "n_ch", "chunk"))
+def _popsweep_segment_currents(rec_sc, rec_y, rec_k, n_acc, n_valid, mask,
+                               vseg, dt, c, p, q, q_req, n_ch, chunk):
+    """One segment's currents [P, Q_req, n_ch*chunk] from the popsweep
+    record stream: lax.map over T-chunks keeps the [C, 7, 2Q, 128] record
+    gather bounded while staying a single dispatch."""
+    from ionflux.ops.pallas_solve import _dense_eval_popsweep_ft
+
+    def one(ci):
+        ts_c = (ci * chunk + jnp.arange(chunk, dtype=jnp.float32)) * dt
+        ys = _dense_eval_popsweep_ft(rec_sc, rec_y, rec_k, n_acc, n_valid,
+                                     ts_c, p, q)[:, :q_req]
+        vv = jax.lax.dynamic_slice(vseg, (0, ci * chunk), (q_req, chunk))
+        return gate_current(ys, vv[None], c)             # [P, Qr, chunk]
+
+    ii = jax.lax.map(one, jnp.arange(n_ch))              # [n_ch, P, Qr, C]
+    ii = jnp.transpose(ii, (1, 2, 0, 3)).reshape(
+        ii.shape[1], q_req, n_ch * chunk)
+    return jnp.where(mask[:, :q_req, None], ii, jnp.inf)
 
 
 def report_mae(name: str, pred: jnp.ndarray, truth: jnp.ndarray,

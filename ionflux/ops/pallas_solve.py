@@ -24,6 +24,7 @@ VPU).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Sequence
 
 import jax
@@ -780,11 +781,12 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
     BS = [float(x) for x in _B_SOL]
     BE = [float(x) for x in _B_ERR]
 
-    def kernel(v_ref, *refs):
+    def kernel(v_ref, y0_ref, *refs):
         w_refs = refs[:n_layers]
         b_refs = refs[n_layers:2 * n_layers]
-        rec_sc, rec_y, rec_k, n_out_ref = refs[2 * n_layers:2 * n_layers + 4]
-        vm_sc, vm_y, vm_k, sems = refs[2 * n_layers + 4:]
+        (rec_sc, rec_y, rec_k, n_out_ref,
+         m_out_ref) = refs[2 * n_layers:2 * n_layers + 5]
+        vm_sc, vm_y, vm_k, sems = refs[2 * n_layers + 5:]
 
         def voltage(t):
             # Q per-protocol knot rows, one shared clock: [Q] voltages
@@ -827,9 +829,10 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
             drdt = -k3[None] * y[:, :, 1] + k4[None] * (1.0 - y[:, :, 1])
             return jnp.stack([dadt, drdt], axis=-1)
 
-        y0 = jnp.concatenate(
-            [jnp.zeros((p, q, 1), jnp.float32),
-             jnp.ones((p, q, 1), jnp.float32)], axis=-1)
+        # initial state arrives packed like the records: [2Q, 128] ->
+        # [P, Q, 2] (the inverse of _pad_rec) so chained launches can carry
+        # the previous segment's final state in
+        y0 = jnp.transpose(y0_ref[...][:, :p].reshape(q, 2, p), (2, 0, 1))
         f0 = rhs(jnp.float32(t0), y0)
 
         def _pad_rec(arr):
@@ -844,7 +847,10 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)[0]
 
         def body(i, state):
-            (t, y, f, h, n_acc, t_la, h_la, y_la, ks_la) = state
+            (t, y, f, h, n_acc, alive, t_la, h_la, y_la, ks_la) = state
+            # alive carried as f32 (Mosaic cannot yield i1 vectors from
+            # the loop: scf.yield legalization failure on chip)
+            alive_b = alive > 0.5
             h_eff = jnp.maximum(jnp.minimum(h, t_end - t), 1e-8)
             ks = [f]
             for si in range(1, 7):
@@ -861,9 +867,22 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
                 if BE[sj] != 0.0:
                     err = err + (h_eff * BE[sj]) * ks[sj]
             scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
-            ratio = jnp.sqrt(jnp.max(jnp.mean((err / scale) ** 2, axis=-1)))
-            finite = jnp.all(jnp.isfinite(y1)) & jnp.isfinite(ratio)
-            accept = (ratio <= 1.0) & finite
+            # per-(member, protocol) error; shared accept on the worst LIVE
+            # lane — a divergent candidate net must not poison the launch
+            # (batched.py:94-106 per-lane-death semantics)
+            r_pq = jnp.sqrt(jnp.mean((err / scale) ** 2, axis=-1))  # [P, Q]
+            lane_fin = (jnp.all(jnp.isfinite(y1), axis=-1)
+                        & jnp.isfinite(r_pq))
+            any_bad = jnp.any(alive_b & ~lane_fin)
+            ratio = jnp.max(jnp.where(alive_b & lane_fin, r_pq, 0.0))
+            accept = (ratio <= 1.0) & ~any_bad
+            # a live lane that cannot pass even near the minimum step —
+            # non-finite or ratio > 1 with h pinned — dies: frozen finite
+            # state, excluded from the controller, masked to inf in phase 2
+            lane_pass = lane_fin & (r_pq <= 1.0)
+            alive_b = alive_b & (lane_pass | (h_eff > 2e-7))
+            alive = alive_b.astype(jnp.float32)
+            adv = (accept & alive_b)[..., None]                     # [P,Q,1]
             t_la = jnp.where(accept, t, t_la)
             h_la = jnp.where(accept, h_eff, h_la)
             y_la = jnp.where(accept, _pad_rec(y), y_la)
@@ -875,26 +894,37 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
             vm_y[pl.ds(i, 1), :, :] = y_la[None]
             vm_k[pl.ds(i, 1), :, :, :] = ks_la[None]
             t = jnp.where(accept, t + h_eff, t)
-            y = jnp.where(accept, y1, y)
-            f = jnp.where(accept, ks[6], f)
+            y = jnp.where(adv, y1, y)
+            f = jnp.where(adv, ks[6], f)
             n_acc = n_acc + accept.astype(jnp.int32)
             factor = _SAFETY * jnp.exp(
                 -0.2 * jnp.log(jnp.maximum(ratio, 1e-10)))
-            factor = jnp.where(jnp.isfinite(factor), factor, _MINF)
+            factor = jnp.where(any_bad | ~jnp.isfinite(factor), _MINF,
+                               factor)
             h = h_eff * jnp.clip(factor, _MINF,
                                  jnp.where(accept, _MAXF, 1.0))
-            return (t, y, f, h, n_acc, t_la, h_la, y_la, ks_la)
+            return (t, y, f, h, n_acc, alive, t_la, h_la, y_la, ks_la)
 
+        # lanes arriving non-finite (chained carry marks dead lanes NaN)
+        # are dead from the start; their state resets to rest so the RHS
+        # stays finite for everyone else
+        alive0 = (jnp.all(jnp.isfinite(y0), axis=-1)
+                  & jnp.all(jnp.isfinite(f0), axis=-1))
+        y0 = jnp.where(alive0[..., None], y0, jnp.stack(
+            [jnp.zeros((p, q), jnp.float32),
+             jnp.ones((p, q), jnp.float32)], axis=-1))
+        f0 = jnp.where(alive0[..., None], f0, 0.0)
         init = (jnp.float32(t0), y0, f0, jnp.float32(dt_knot * 10.0),
-                jnp.int32(0), jnp.float32(t0), jnp.float32(1e-8),
-                _pad_rec(y0), jnp.stack([_pad_rec(f0)] * 7))
+                jnp.int32(0), alive0.astype(jnp.float32), jnp.float32(t0),
+                jnp.float32(1e-8), _pad_rec(y0),
+                jnp.stack([_pad_rec(f0)] * 7))
         assert trips % block == 0
         n_blocks = trips // block
 
         def blk_cond(state):
             blk, st = state
-            return (blk < n_blocks) & (st[0] < t_end) & jnp.all(
-                jnp.isfinite(st[1]))
+            return ((blk < n_blocks) & (st[0] < t_end)
+                    & jnp.any(st[5] > 0.5))
 
         def blk_body(state):
             blk, st = state
@@ -914,11 +944,13 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
             c2.wait()
             return blk + 1, st
 
-        _blk, (t, y, f, h, n_acc, *_r) = jax.lax.while_loop(
+        _blk, (t, y, f, h, n_acc, alive, *_r) = jax.lax.while_loop(
             blk_cond, blk_body, (jnp.int32(0), init))
-        ok = (t >= t_end) & jnp.all(jnp.isfinite(y))
+        ok = t >= t_end
         n_out_ref[0, 0] = jnp.where(ok, n_acc, -jnp.maximum(n_acc, 1))
         n_out_ref[0, 1] = _blk * block
+        m_out_ref[...] = _pad_rec(jnp.broadcast_to(
+            alive[..., None], (p, q, 2)).astype(jnp.float32))
 
     return kernel
 
@@ -936,6 +968,8 @@ def fused_nnf_popsweep_solve_ft(
     atol: float = 1e-7,
     trips: int = 2048,
     base_hh: HHParams | None = None,
+    y0: jnp.ndarray | None = None,
+    return_records: bool = False,
     interpret: bool = False,
 ):
     """Fixed-trip fused solve for P member nets x Q protocols concurrently
@@ -943,6 +977,11 @@ def fused_nnf_popsweep_solve_ft(
     a common t_end with their holding potential and query only each
     protocol's own times.  base_hh switches to the NN-d family (MLP as an
     additive correction to the analytic p1-p4 a-gate, r-gate from base_hh).
+    y0 [P, Q, 2] seeds the state per (member, protocol) — chained launches
+    over the segments of a long recording carry it (eval.solve_states_long
+    semantics).  return_records skips phase 2 and returns the raw record
+    stream (rec_sc, rec_y, rec_k, n_acc, n_valid, q_pad) so callers with
+    long output grids can dense-eval in T-chunks (PopsweepRecords.evaluate).
     Returns ys [P, Q, T, 2]."""
     p = nets[0][0].shape[0]
     q_req, n = protos_v.shape
@@ -955,6 +994,21 @@ def fused_nnf_popsweep_solve_ft(
         protos_v = jnp.concatenate(
             [protos_v,
              jnp.broadcast_to(protos_v[-1:], (q - q_req, n))], axis=0)
+    if y0 is None:
+        y0 = jnp.concatenate(
+            [jnp.zeros((p, q, 1), jnp.float32),
+             jnp.ones((p, q, 1), jnp.float32)], axis=-1)
+    else:
+        y0 = y0.astype(jnp.float32)
+        if q != q_req:
+            y0 = jnp.concatenate(
+                [y0, jnp.broadcast_to(y0[:, -1:], (p, q - q_req, 2))],
+                axis=1)
+    # pack like the record stream: [P, Q, 2] -> [2Q, 128]
+    y0_pack = jnp.transpose(y0, (1, 2, 0)).reshape(2 * q, p)
+    if p < 128:
+        y0_pack = jnp.concatenate(
+            [y0_pack, jnp.zeros((2 * q, 128 - p), jnp.float32)], axis=1)
     t_end = float(t_end) if t_end is not None else float(ts[-1])
     n_pad = ((n + 127) // 128) * 128 + 256
     vpad = jnp.concatenate(
@@ -980,20 +1034,22 @@ def fused_nnf_popsweep_solve_ft(
                       (base_hh.p1, base_hh.p2, base_hh.p3, base_hh.p4))
                 if base_hh is not None else ()))
 
-    rec_sc, rec_y, rec_k, n_acc = pl.pallas_call(
+    rec_sc, rec_y, rec_k, n_acc, m_pack = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((trips, 128), jnp.float32),
             jax.ShapeDtypeStruct((trips, 2 * q, 128), jnp.float32),
             jax.ShapeDtypeStruct((trips, 7, 2 * q, 128), jnp.float32),
             jax.ShapeDtypeStruct((1, 2), jnp.int32),
+            jax.ShapeDtypeStruct((2 * q, 128), jnp.float32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + 2 * len(ws)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + 2 * len(ws)),
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((block, 128), jnp.float32),
@@ -1005,11 +1061,106 @@ def fused_nnf_popsweep_solve_ft(
             has_side_effects=True,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(vpad, *ws, *bs)
+    )(vpad, y0_pack, *ws, *bs)
 
+    mask = m_pack[:, :p].reshape(q, 2, p)[:, 0, :].T > 0.5      # [P, Q]
+    if return_records:
+        return PopsweepRecords(rec_sc, rec_y, rec_k, n_acc[0, 0],
+                               n_acc[0, 1], p, q, q_req, mask)
     ys = _dense_eval_popsweep_ft(rec_sc, rec_y, rec_k, n_acc[0, 0],
                                  n_acc[0, 1], ts.astype(jnp.float32), p, q)
-    return ys[:, :q_req]
+    return jnp.where(mask[:, :q_req, None, None], ys[:, :q_req], jnp.inf)
+
+
+@dataclass(frozen=True)
+class PopsweepRecords:
+    """Raw popsweep record stream (phase 1 output): dense-evaluate in
+    T-chunks so 100k-sample output grids never materialise the [T, 7, 2Q,
+    128] gather at once.  mask [P, Q_pad] is the per-(member, protocol)
+    survival flag — dead lanes (per-lane death, batched.py semantics)
+    evaluate to inf."""
+    rec_sc: jnp.ndarray
+    rec_y: jnp.ndarray
+    rec_k: jnp.ndarray
+    n_acc: jnp.ndarray
+    n_valid: jnp.ndarray
+    p: int
+    q: int
+    q_req: int
+    mask: jnp.ndarray
+
+    def evaluate(self, ts: jnp.ndarray, chunk: int = 4096) -> jnp.ndarray:
+        """ys [P, Q_req, T, 2] at ts, dense-evaluated <=chunk times at a
+        go (the [C, 7, 2Q, 128] record gather is the memory scaler)."""
+        t_n = int(ts.shape[0])
+        if t_n <= chunk:
+            ys = _dense_eval_popsweep_ft(
+                self.rec_sc, self.rec_y, self.rec_k, self.n_acc,
+                self.n_valid, ts.astype(jnp.float32), self.p, self.q)
+            return jnp.where(self.mask[:, :self.q_req, None, None],
+                             ys[:, :self.q_req], jnp.inf)
+        parts = [self.evaluate(ts[i:i + chunk])
+                 for i in range(0, t_n, chunk)]
+        return jnp.concatenate(parts, axis=2)
+
+    def final_state(self, t_end: float) -> jnp.ndarray:
+        """y(t_end) [P, Q_req, 2] for chaining into the next segment (the
+        next launch re-pads the protocol rows).  Dead lanes carry NaN so
+        the next launch marks them dead at init — deadness propagates
+        through the chain without extra bookkeeping."""
+        ys = _dense_eval_popsweep_ft(
+            self.rec_sc, self.rec_y, self.rec_k, self.n_acc, self.n_valid,
+            jnp.asarray([t_end], jnp.float32), self.p, self.q)
+        return jnp.where(self.mask[:, :self.q_req, None],
+                         ys[:, :self.q_req, 0, :], jnp.nan)
+
+
+def fused_nnf_popsweep_chained(
+    nets,                           # pytree: [(W [P,i,o], b [P,o]), ...]
+    rgate: HHParams,
+    seg_v: jnp.ndarray,             # [B, Q, L] per-segment knot voltages
+    *,
+    proto_dt: float = 0.1,
+    t_end: float | None = None,     # integration span per segment
+    rtol: float = 1e-5,
+    atol: float = 1e-7,
+    trips: int = 6144,
+    base_hh: HHParams | None = None,
+    y0: jnp.ndarray | None = None,
+    interpret: bool = False,
+    consume=None,
+    ts: jnp.ndarray | None = None,
+):
+    """Chained popsweep over the segments of LONG recordings: one launch
+    per segment with a LOCAL f32 clock, final state carried into the next
+    launch (the Pallas counterpart of solver/chained.odeint_chained — a
+    single global f32 clock loses step resolution past ~30 s;
+    eval.solve_states_long docstring).  Segment boundaries need not align
+    with sweep boundaries: the controller resolves interior discontinuities
+    exactly as in the single-launch case.
+
+    consume(b, recs): called per segment with the PopsweepRecords —
+    dense-evaluate/reduce in chunks without materialising every segment
+    (the validation-MAE path).  Without consume, returns ys stacked on the
+    local grid ts ([B, P, Q, T, 2]) — small-T use only.
+    Returns (result_or_None, y_final [P, Q, 2])."""
+    n_seg = seg_v.shape[0]
+    if t_end is None:
+        t_end = float(ts[-1]) if ts is not None else \
+            float((seg_v.shape[2] - 1) * proto_dt)
+    outs = []
+    for b in range(n_seg):
+        recs = fused_nnf_popsweep_solve_ft(
+            nets, rgate, seg_v[b], jnp.asarray([t_end], jnp.float32),
+            proto_dt=proto_dt, t_end=t_end, rtol=rtol, atol=atol,
+            trips=trips, base_hh=base_hh, y0=y0, return_records=True,
+            interpret=interpret)
+        y0 = recs.final_state(t_end)
+        if consume is not None:
+            consume(b, recs)
+        else:
+            outs.append(recs.evaluate(ts))
+    return (None if consume is not None else jnp.stack(outs)), y0
 
 
 @partial(jax.jit, static_argnames=("p", "q"))

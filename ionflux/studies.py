@@ -308,28 +308,21 @@ def _sim_real_table(kind: str, params, name: str):
                       np.float64)
 
 
-def table_rollout_maes(spec: SyntheticStudy, params,
-                       noisy: bool = True) -> dict:
-    """Rollout MAEs on the five table-1 protocols (reconstructed real
-    cell-5 waveforms; Pr4 scored on sweeps 1-3 like table-1.py:559-562) —
-    the d-study analogue of rstudies.RealValidator.
+_TABLE_COLS = [("pr3", "pr3-cell5", None), ("pr5", "pr5-cell5", None),
+               ("pr4", "pr4-cell5", None),
+               ("sin", "sinewave-cell5", "yc-sinewave.pt"),
+               ("aps", "aps-cell5", "yc-aps.pt")]
 
-    noisy=True scores against the study's noisy data exactly as the table
-    does (GT + the per-column PRNG noise; the reference's stored yc-*.pt
-    caches where the mount provides them) — mirroring the reference's own
-    checkpoint selection, which validates r1 on the same measured APs/Pr5
-    its table-2 reports (train-r1.py:947-951).  noisy=False scores the
-    clean ground truth.  Returns {'pr3','pr5','pr4','sin','aps','score'};
-    non-finite rollouts score inf (divergent iterates are rejected)."""
-    from ionflux import protorec
+
+def _table_targets(spec: SyntheticStudy, noisy: bool) -> list:
+    """Populate _GT_ROLLOUTS for the five table-1 columns and return the
+    column list.  noisy=True is the study's noisy data exactly as the
+    table scores it (GT + per-column PRNG noise; the reference's stored
+    yc-*.pt caches where the mount provides them)."""
     from ionflux.observe import add_noise
 
     refdir = "/root/reference"
-    cols = [("pr3", "pr3-cell5", None), ("pr5", "pr5-cell5", None),
-            ("pr4", "pr4-cell5", None),
-            ("sin", "sinewave-cell5", "yc-sinewave.pt"),
-            ("aps", "aps-cell5", "yc-aps.pt")]
-    for i, (label, n, yc) in enumerate(cols):
+    for i, (label, n, yc) in enumerate(_TABLE_COLS):
         key = (spec.gt_kind, n, noisy)
         if key in _GT_ROLLOUTS:
             continue
@@ -347,6 +340,24 @@ def table_rollout_maes(spec: SyntheticStudy, params,
             _GT_ROLLOUTS[key] = np.asarray(
                 add_noise(jax.random.PRNGKey(i), jnp.asarray(gt)),
                 np.float64)
+    return _TABLE_COLS
+
+
+def table_rollout_maes(spec: SyntheticStudy, params,
+                       noisy: bool = True) -> dict:
+    """Rollout MAEs on the five table-1 protocols (reconstructed real
+    cell-5 waveforms; Pr4 scored on sweeps 1-3 like table-1.py:559-562) —
+    the d-study analogue of rstudies.RealValidator.
+
+    noisy=True scores against the study's noisy data exactly as the table
+    does — mirroring the reference's own checkpoint selection, which
+    validates r1 on the same measured APs/Pr5 its table-2 reports
+    (train-r1.py:947-951).  noisy=False scores the clean ground truth.
+    Returns {'pr3','pr5','pr4','sin','aps','score'}; non-finite rollouts
+    score inf (divergent iterates are rejected)."""
+    from ionflux import protorec
+
+    cols = _table_targets(spec, noisy)
     out = {}
     n4 = protorec.PR4_N // 16
     sl4 = slice(n4, 4 * n4)
@@ -357,6 +368,46 @@ def table_rollout_maes(spec: SyntheticStudy, params,
         out[label] = float(np.mean(np.abs(pred[sl] - data[sl])))
     score = sum(out.values())
     out["score"] = score if np.isfinite(score) else float("inf")
+    return out
+
+
+def table_rollout_maes_pop(spec: SyntheticStudy, params_list,
+                           noisy: bool = True, batch: int = 64,
+                           trips: int = 8192) -> list[dict]:
+    """table_rollout_maes for MANY candidate nets at once through the
+    chained popsweep Pallas kernel (eval.simulate_population_real): up to
+    64 members ride the 128-lane tile while the five protocols ride the
+    MXU M dimension — one kernel-launch chain scores a whole training
+    run's checkpoints.  Same semantics as table_rollout_maes (canonical
+    1e-6/1e-8 tolerances, Pr4 on sweeps 1-3, non-finite/dead lanes score
+    inf).  TPU-only (run_study_validated falls back to the per-checkpoint
+    path elsewhere)."""
+    from ionflux import protorec
+    from ionflux.eval import simulate_population_real
+    from ionflux.models.registry import TABLE1
+
+    cols = _table_targets(spec, noisy)
+    names = [n for _, n, _ in cols]
+    n4 = protorec.PR4_N // 16
+    sl4 = slice(n4, 4 * n4)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+    maes = np.empty((len(params_list), len(cols)))
+    for i0 in range(0, len(params_list), batch):
+        sub = jax.tree.map(lambda x: x[i0:i0 + batch], stacked)
+        cur = simulate_population_real(spec.model_kind, sub, names, TABLE1,
+                                       rtol=1e-6, atol=1e-8, trips=trips)
+        for j, (label, n, _yc) in enumerate(cols):
+            data = _GT_ROLLOUTS[(spec.gt_kind, n, noisy)]
+            sl = sl4 if label == "pr4" else slice(None)
+            maes[i0:i0 + batch, j] = np.mean(
+                np.abs(cur[n][:, sl] - data[None, sl]), axis=1)
+    out = []
+    for row in maes:
+        d = {label: float(row[j])
+             for j, (label, _n, _yc) in enumerate(cols)}
+        s = float(row.sum())
+        d["score"] = s if np.isfinite(s) else float("inf")
+        out.append(d)
     return out
 
 
@@ -414,7 +465,8 @@ def s_rollout_maes(spec: SyntheticStudy, params) -> dict:
 def run_study_validated(spec: SyntheticStudy, outdir: str, n_seeds: int = 6,
                         iters: int | None = None, cached: bool = False,
                         val_every: int = 400, debug: bool = False,
-                        metric=None, target_net=None):
+                        metric=None, target_net=None,
+                        batch_validate: bool | None = None):
     """d2 default recipe (VERDICT r3 item 1): train across init seeds in
     ``val_every``-iter chunks, roll out EVERY checkpoint on the five table-1
     protocols vs the study's noisy data (table_rollout_maes — the same
@@ -449,9 +501,18 @@ def run_study_validated(spec: SyntheticStudy, outdir: str, n_seeds: int = 6,
         metric = table_rollout_maes
     if target_net is not None:
         print("Target Loss", float(surface_loss(target_net, x, y)))
+    # batched checkpoint scoring through the chained popsweep kernel: all
+    # collected (seed, iter) candidates roll out in a handful of fused
+    # launches instead of one chained XLA solve per checkpoint x protocol.
+    # Auto-on for the MLP families on TPU with the default table metric.
+    if batch_validate is None:
+        batch_validate = (metric is table_rollout_maes
+                          and spec.model_kind in ("nnf", "nnd")
+                          and jax.devices()[0].platform != "cpu")
 
     total = iters if iters is not None else spec.iters
     best = (float("inf"), None, -1, -1)
+    collected = []
     for seed in range(n_seeds):
         sspec = _replace(spec, init_seed=seed)
         params0 = init_params(sspec)
@@ -467,6 +528,11 @@ def run_study_validated(spec: SyntheticStudy, outdir: str, n_seeds: int = 6,
                 net, opt_state, x, y, residual, anchors, iters=n, lr=1e-3,
                 step_size=sspec.step_size, gamma=0.9)
             done += n
+            if batch_validate:
+                collected.append((seed, done, wrap_net(sspec, net)))
+                print(f"seed {seed} iter {done:5d} | train "
+                      f"{float(losses[-1]):.5f} | rollout deferred")
+                continue
             m = metric(sspec, wrap_net(sspec, net))
             print(f"seed {seed} iter {done:5d} | train "
                   f"{float(losses[-1]):.5f} | " +
@@ -474,6 +540,14 @@ def run_study_validated(spec: SyntheticStudy, outdir: str, n_seeds: int = 6,
                            if k != "score"))
             if m["score"] < best[0]:
                 best = (m["score"], wrap_net(sspec, net), seed, done)
+    if batch_validate and collected:
+        res = table_rollout_maes_pop(spec, [p for _, _, p in collected])
+        for (seed, it, p), m in zip(collected, res):
+            print(f"seed {seed} iter {it:5d} | " +
+                  " ".join(f"{k} {v_:.3f}" for k, v_ in m.items()
+                           if k != "score"))
+            if m["score"] < best[0]:
+                best = (m["score"], p, seed, it)
     score, params, seed, it = best
     if params is None:
         raise RuntimeError(

@@ -247,6 +247,62 @@ def test_simulate_population_matches_family():
         assert float(jnp.max(jnp.abs(i_pop[m] - i_ref))) < 5e-3
 
 
+def test_popsweep_per_lane_death():
+    """A divergent member must not poison the launch (batched.py per-lane
+    death semantics): its rows evaluate to inf, survivors stay accurate."""
+    from ionflux.ops.pallas_solve import fused_nnf_popsweep_solve_ft
+
+    pop = jax.vmap(lambda k: nnf_init(k, HH_B06, n_layers=1,
+                                      n_nodes=16))(
+        jax.random.split(jax.random.PRNGKey(1), 3))
+    nets = [(w.at[1].mul(1e6), b) for w, b in pop.net]   # member 1 blows up
+    protos = P.stack([P.activation_protocol(v, dt_ms=1.0)
+                      for v in (-40.0, 20.0)])
+    ts = jnp.linspace(0.0, 8000.0, 81, jnp.float32)
+    ys = fused_nnf_popsweep_solve_ft(nets, HH_B06, protos.v, ts,
+                                     proto_dt=1.0, trips=2048,
+                                     interpret=True)
+    assert bool(jnp.all(jnp.isinf(ys[1])))
+    clean = fused_nnf_popsweep_solve_ft(
+        [(w, b) for w, b in pop.net], HH_B06, protos.v, ts, proto_dt=1.0,
+        trips=2048, interpret=True)
+    for m in (0, 2):
+        assert bool(jnp.all(jnp.isfinite(ys[m])))
+        assert float(jnp.max(jnp.abs(ys[m] - clean[m]))) < 1e-2
+
+
+def test_popsweep_chained_matches_single_launch():
+    """fused_nnf_popsweep_chained (local per-segment clocks, y0 carried
+    across launches — the long-recording path) == one launch over the
+    same span; segment boundaries need not align with sweep boundaries."""
+    import numpy as np
+
+    from ionflux.ops.pallas_solve import (fused_nnf_popsweep_chained,
+                                          fused_nnf_popsweep_solve_ft)
+
+    pop = jax.vmap(lambda k: nnf_init(k, HH_B06, n_layers=1,
+                                      n_nodes=16))(
+        jax.random.split(jax.random.PRNGKey(1), 2))
+    nets = [(w, b) for w, b in pop.net]
+    protos = P.stack([P.activation_protocol(v, dt_ms=1.0)
+                      for v in (-40.0, 20.0)])
+    v = np.asarray(protos.v)
+    seg = 4000    # splits mid-sweep: 999/5999/6999/7499 ms jumps
+    pad = np.concatenate([v, v[:, -1:]], axis=1)
+    seg_v = np.stack([pad[:, b * seg:b * seg + seg + 1] for b in range(2)])
+    ts_loc = jnp.linspace(0.0, 4000.0, 81, jnp.float32)
+    ys_c, y_fin = fused_nnf_popsweep_chained(
+        nets, HH_B06, jnp.asarray(seg_v), proto_dt=1.0, t_end=4000.0,
+        trips=2048, interpret=True, ts=ts_loc)
+    assert ys_c.shape == (2, 2, 2, 81, 2)
+    assert bool(jnp.all(jnp.isfinite(ys_c))) and y_fin.shape == (2, 2, 2)
+    for b, t0 in enumerate((0.0, 4000.0)):
+        ref = fused_nnf_popsweep_solve_ft(
+            nets, HH_B06, protos.v, t0 + ts_loc, proto_dt=1.0,
+            trips=2048, interpret=True)
+        assert float(jnp.max(jnp.abs(ys_c[b] - ref))) < 1e-3
+
+
 def test_popsweep_odd_q_padding():
     """Q not a power of two pads the protocol rows (Mosaic hard-faults on
     2Q sublane dims like 6) and slices back: Q=3 == the Q=2 rows plus the
