@@ -869,17 +869,25 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
             scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
             # per-(member, protocol) error; shared accept on the worst LIVE
             # lane — a divergent candidate net must not poison the launch
-            # (batched.py:94-106 per-lane-death semantics)
+            # (batched.py:94-106 per-lane-death semantics).  Lane badness
+            # folds into the ONE max reduction via a finite sentinel: any
+            # non-finite stage k makes err (every BE entry is nonzero) and
+            # hence r_pq non-finite, and a non-finite y1 with finite err
+            # makes scale non-finite — NaN-poison r_pq with scale*0 so both
+            # cases read as bad without per-trip isfinite/any reductions
+            # (genuine ratios stay < ~2e19, far under the 3.4e38 sentinel,
+            # which rejects the trip and drives factor to _MINF through the
+            # ordinary controller algebra).
             r_pq = jnp.sqrt(jnp.mean((err / scale) ** 2, axis=-1))  # [P, Q]
-            lane_fin = (jnp.all(jnp.isfinite(y1), axis=-1)
-                        & jnp.isfinite(r_pq))
-            any_bad = jnp.any(alive_b & ~lane_fin)
-            ratio = jnp.max(jnp.where(alive_b & lane_fin, r_pq, 0.0))
-            accept = (ratio <= 1.0) & ~any_bad
+            r_pq = r_pq + (scale[:, :, 0] + scale[:, :, 1]) * 0.0
+            lane_bad = ~(r_pq < jnp.float32(jnp.inf))       # nan or inf
+            r_c = jnp.where(lane_bad, jnp.float32(3.4e38), r_pq)
+            ratio = jnp.max(jnp.where(alive_b, r_c, 0.0))
+            accept = ratio <= 1.0
             # a live lane that cannot pass even near the minimum step —
             # non-finite or ratio > 1 with h pinned — dies: frozen finite
             # state, excluded from the controller, masked to inf in phase 2
-            lane_pass = lane_fin & (r_pq <= 1.0)
+            lane_pass = ~lane_bad & (r_pq <= 1.0)
             alive_b = alive_b & (lane_pass | (h_eff > 2e-7))
             alive = alive_b.astype(jnp.float32)
             adv = (accept & alive_b)[..., None]                     # [P,Q,1]
@@ -899,8 +907,8 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
             n_acc = n_acc + accept.astype(jnp.int32)
             factor = _SAFETY * jnp.exp(
                 -0.2 * jnp.log(jnp.maximum(ratio, 1e-10)))
-            factor = jnp.where(any_bad | ~jnp.isfinite(factor), _MINF,
-                               factor)
+            # ratio == sentinel -> factor ~9e-9 -> clipped to _MINF; the
+            # bad-lane case needs no special path
             h = h_eff * jnp.clip(factor, _MINF,
                                  jnp.where(accept, _MAXF, 1.0))
             return (t, y, f, h, n_acc, alive, t_la, h_la, y_la, ks_la)

@@ -188,3 +188,28 @@ def test_fused_popsweep_mosaic_runs():
                                                SYNTHETIC, trips=2048))
     assert i_pop.shape == (4, 2, 161)
     assert np.isfinite(i_pop).all()
+
+
+def test_popsweep_lane_death_mosaic():
+    """Per-lane death through real Mosaic (the sentinel-ratio controller):
+    a divergent member's rows land inf, survivors match the clean launch."""
+    from ionflux.models import nnf_init
+    from ionflux.ops.pallas_solve import fused_nnf_popsweep_solve_ft
+
+    pop = jax.vmap(lambda k: nnf_init(k, HH_B06, n_layers=1,
+                                      n_nodes=16))(
+        jax.random.split(jax.random.PRNGKey(1), 3))
+    nets = [(w.at[1].mul(1e6), b) for w, b in pop.net]
+    protos = P.stack([P.activation_protocol(v, dt_ms=1.0)
+                      for v in (-40.0, 20.0)])
+    ts = jnp.linspace(0.0, 8000.0, 81, jnp.float32)
+    with jax.default_device(tpu()):
+        ys = np.asarray(fused_nnf_popsweep_solve_ft(
+            nets, HH_B06, protos.v, ts, proto_dt=1.0, trips=2048))
+        clean = np.asarray(fused_nnf_popsweep_solve_ft(
+            [(w, b) for w, b in pop.net], HH_B06, protos.v, ts,
+            proto_dt=1.0, trips=2048))
+    assert np.isinf(ys[1]).all()
+    for m in (0, 2):
+        assert np.isfinite(ys[m]).all()
+        assert np.max(np.abs(ys[m] - clean[m])) < 1e-2
