@@ -158,31 +158,20 @@ def measure_tpu(force_cpu: bool = False) -> dict:
     # scaling curve).
     t_measure0 = time.monotonic()
     m_budget = float(os.environ.get("IONFLUX_MEASURE_BUDGET", "210"))
-    cases = ([(32, None)] if force_cpu else
-             [(64, None), (32, None), (512, 64), (128, None), (512, None),
-              (256, None)])
     scaling = []
     best = None
-    for i_case, (b, ml) in enumerate(cases):
-        if i_case >= 1 and time.monotonic() - t_measure0 > m_budget:
-            log(f"scaling case batch={b} skipped (measure budget)")
-            continue
-        sps, dt, pop_b, y0b = bench_batch(b, ml)
-        scaling.append({"batch": b, "max_lanes": ml,
-                        "solves_per_sec": round(sps, 1)})
-        if best is None or sps > best[0]:
-            best = (sps, dt, b, pop_b, y0b, ml)
 
-    if not force_cpu and time.monotonic() - t_measure0 < m_budget * 1.25:
-        # fused per-lane-weights Pallas kernel on the same workload: the
-        # whole 64-net population stays VMEM-resident and the adaptive
-        # solve runs on-core (ops/pallas_solve.fused_nnf_pop_solve_ft);
-        # the residual wall is the M=1 batched-matmul MXU shape
+    if not force_cpu:
+        # fused per-lane-weights Pallas kernel FIRST — it has won the
+        # headline every round (the whole 64-net population stays
+        # VMEM-resident and the adaptive solve runs on-core,
+        # ops/pallas_solve.fused_nnf_pop_solve_ft), so it must land even
+        # when a slow-tunnel phase eats the measure budget; the XLA
+        # scaling cases below only refine the curve
         from ionflux.ops.pallas_solve import fused_nnf_pop_solve_ft
 
         b = 64
         pop_b = tile_pop(b)
-        nets = [(w, bb) for w, bb in pop_b]
         fpal = jax.jit(lambda ns: fused_nnf_pop_solve_ft(
             [(w, bb) for w, bb in ns], HH_B06, proto.v, ts, proto_dt=0.1,
             trips=2048, t_end=float(knots[-1])))
@@ -204,13 +193,26 @@ def measure_tpu(force_cpu: bool = False) -> dict:
             scaling.append({"batch": b, "max_lanes": None,
                             "kernel": "pallas-pop",
                             "solves_per_sec": round(sps, 1)})
-            if sps > best[0]:
-                best = (sps, dt, b, pop_b,
-                        jax.numpy.tile(jax.numpy.array([0.0, 1.0],
-                                                       jax.numpy.float32),
-                                       (b, 1)), None)
+            best = (sps, dt, b, pop_b,
+                    jax.numpy.tile(jax.numpy.array([0.0, 1.0],
+                                                   jax.numpy.float32),
+                                   (b, 1)), None)
         except Exception as exc:  # pragma: no cover - degraded chip path
             log(f"pallas pop kernel case skipped: {exc}")
+
+    cases = ([(32, None)] if force_cpu else
+             [(64, None), (32, None), (512, 64), (128, None), (512, None),
+              (256, None)])
+    for i_case, (b, ml) in enumerate(cases):
+        if ((i_case >= 1 or best is not None)
+                and time.monotonic() - t_measure0 > m_budget):
+            log(f"scaling case batch={b} skipped (measure budget)")
+            continue
+        sps, dt, pop_b, y0b = bench_batch(b, ml)
+        scaling.append({"batch": b, "max_lanes": ml,
+                        "solves_per_sec": round(sps, 1)})
+        if best is None or sps > best[0]:
+            best = (sps, dt, b, pop_b, y0b, ml)
 
     sps, dt, b, pop_b, y0b, ml = best
     # roofline accounting at the best config: count step attempts once;

@@ -44,6 +44,8 @@ class RealSurfaceConfig:
     smooth_window: int = 51   # a-smoothing for spline segments (:497)
     spline_k: int = 4         # "want smooth 2nd derivative" (:498)
     spline_s: float = 0.2     # (:499)
+    sine_window: int = 21     # sinewave-window smoothing (:566)
+    sine_spline_k: int = 5    # sinewave-window spline order (:567)
 
 
 def _recording_protocol(t: np.ndarray, v: np.ndarray) -> P.Protocol:
@@ -83,13 +85,18 @@ def real_surface_spline(t, i, v, rgate: HHParams, c: Constants,
 def real_surface_smoothi(t, i, v, rgate: HHParams, c: Constants,
                          cfg: RealSurfaceConfig = RealSurfaceConfig(),
                          extra_changes: np.ndarray | None = None,
-                         bi_exp_times: tuple = (), cma_voltages: tuple = ()):
+                         bi_exp_times: tuple = (), cma_voltages: tuple = (),
+                         sine_times: tuple = ()):
     """--smoothi path -> subsampled (t, v, a, dadt, d2adt2)
     (train-r1.py:422-673).
 
     bi_exp_times: segment-interior times forced to bi-exp (the Pr5 flat tails,
     train-r1.py:633); cma_voltages: segment voltages needing the CMA-ES
-    optimiser (the hard -90 mV segments, train-r1.py:554, 640)."""
+    optimiser (the hard -90 mV segments, train-r1.py:554, 640); sine_times:
+    segment-interior times marking a sinewave window — those segments take a
+    lighter smooth and a quintic spline regardless of their std (the
+    sinewave-recording branch at train-r1.py:564-573; t=3500 in the cell-5
+    sinewave group, which the reference computes but never trains on)."""
     t = np.asarray(t, np.float64)
     i = np.asarray(i, np.float64)
     v = np.asarray(v, np.float64)
@@ -113,7 +120,8 @@ def real_surface_smoothi(t, i, v, rgate: HHParams, c: Constants,
         afit_raw = aa[idx]
         full = np.where((t >= tfit[0]) & (t <= tfit[-1]))[0]
         seg_v = v[full[0]]
-        if np.std(afit_raw) > cfg.std_cutoff:
+        in_sine = any(is_within(tfit, ts_) for ts_ in sine_times)
+        if np.std(afit_raw) > cfg.std_cutoff and not in_sine:
             tl = tfit - tfit[0]
             if any(is_within(tfit, tb) for tb in bi_exp_times):
                 x = fit_exp(tl, afit_raw, "bi", X0_BI)
@@ -124,8 +132,10 @@ def real_surface_smoothi(t, i, v, rgate: HHParams, c: Constants,
                 vals = eval_exp("tri", t[full] - tfit[0], x)
             ao[full], dadto[full], d2o[full] = vals
         else:
-            asm = smooth_same_np(afit_raw, cfg.smooth_window)
-            spl = UnivariateSpline(tfit, asm, k=cfg.spline_k)
+            win = cfg.sine_window if in_sine else cfg.smooth_window
+            k = cfg.sine_spline_k if in_sine else cfg.spline_k
+            asm = smooth_same_np(afit_raw, win)
+            spl = UnivariateSpline(tfit, asm, k=k)
             spl.set_smoothing_factor(cfg.spline_s)
             ao[full] = spl(t[full])
             dadto[full] = spl(t[full], 1)

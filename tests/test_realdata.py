@@ -59,3 +59,30 @@ def test_smoothi_path_recovers_gate_and_second_derivative():
     dadt_ref = np.asarray(a_gate_rhs(HH_B06, jnp.asarray(a_ref[m]),
                                      jnp.asarray(vs[m])))
     assert np.sqrt(np.mean((dadt[m] - dadt_ref) ** 2)) < 2e-4
+
+
+def test_smoothi_sine_window_branch():
+    """Segments flagged by sine_times take the quintic-spline branch
+    (train-r1.py:564-573) regardless of their std: the recovered gate
+    still tracks the truth and yields a smooth second derivative, and the
+    output differs from the exp-fit branch on the same segment."""
+    t, i, v, a_true = _standin_recording()
+    cfg = RealSurfaceConfig(std_cutoff=0.01)
+    # t=3000 sits inside the +20 mV activation step (1000-6000 ms): with
+    # sine_times it must spline (k=5, window 21) instead of exp-fitting
+    ts, vs, a, dadt, d2 = real_surface_smoothi(
+        t, i, v, HH_B06, SYNTHETIC, cfg, sine_times=(3000,))
+    a_ref = np.interp(ts, t, a_true)
+    assert np.sqrt(np.mean((a - a_ref) ** 2)) < 0.05
+    assert np.all(np.isfinite(dadt)) and np.all(np.isfinite(d2))
+    ts0, _, a0, dadt0, _ = real_surface_smoothi(
+        t, i, v, HH_B06, SYNTHETIC, cfg)
+    m = (ts > 1200) & (ts < 5500)
+    assert np.max(np.abs(a[m] - a0[m])) > 0.0  # a different estimator ran
+    # and the quintic spline still tracks the analytic rate loosely (the
+    # window-21 smooth keeps more noise than the exp fit by design)
+    from ionflux.models.hh import a_gate_rhs
+
+    dadt_ref = np.asarray(a_gate_rhs(HH_B06, jnp.asarray(a_ref[m]),
+                                     jnp.asarray(vs[m])))
+    assert np.sqrt(np.mean((dadt[m] - dadt_ref) ** 2)) < 2e-2
