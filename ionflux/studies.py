@@ -542,6 +542,14 @@ def run_study_validated(spec: SyntheticStudy, outdir: str, n_seeds: int = 6,
                 best = (m["score"], wrap_net(sspec, net), seed, done)
     if batch_validate and collected:
         res = table_rollout_maes_pop(spec, [p for _, _, p in collected])
+        if not any(np.isfinite(m["score"]) for m in res):
+            # a trips shortfall (launch ok=False) scores EVERY lane inf —
+            # distinguishable from genuinely divergent checkpoints only by
+            # re-scoring; fall back to the per-checkpoint path rather than
+            # aborting a finished training run
+            print("batched rollout scoring produced no finite score; "
+                  "falling back to per-checkpoint rollouts")
+            res = [metric(spec, p) for _, _, p in collected]
         for (seed, it, p), m in zip(collected, res):
             print(f"seed {seed} iter {it:5d} | " +
                   " ".join(f"{k} {v_:.3f}" for k, v_ in m.items()
