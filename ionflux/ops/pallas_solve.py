@@ -847,7 +847,8 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)[0]
 
         def body(i, state):
-            (t, y, f, h, n_acc, alive, t_la, h_la, y_la, ks_la) = state
+            (t, y, f, h, n_acc, alive, t_la, h_la, y_la, ks_la,
+             _r_prev) = state
             # alive carried as f32 (Mosaic cannot yield i1 vectors from
             # the loop: scf.yield legalization failure on chip)
             alive_b = alive > 0.5
@@ -911,7 +912,7 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
             # bad-lane case needs no special path
             h = h_eff * jnp.clip(factor, _MINF,
                                  jnp.where(accept, _MAXF, 1.0))
-            return (t, y, f, h, n_acc, alive, t_la, h_la, y_la, ks_la)
+            return (t, y, f, h, n_acc, alive, t_la, h_la, y_la, ks_la, r_c)
 
         # lanes arriving non-finite (chained carry marks dead lanes NaN)
         # are dead from the start; their state resets to rest so the RHS
@@ -925,7 +926,8 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
         init = (jnp.float32(t0), y0, f0, jnp.float32(dt_knot * 10.0),
                 jnp.int32(0), alive0.astype(jnp.float32), jnp.float32(t0),
                 jnp.float32(1e-8), _pad_rec(y0),
-                jnp.stack([_pad_rec(f0)] * 7))
+                jnp.stack([_pad_rec(f0)] * 7),
+                jnp.zeros((p, q), jnp.float32))
         assert trips % block == 0
         n_blocks = trips // block
 
@@ -937,6 +939,29 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
         def blk_body(state):
             blk, st = state
             st = jax.lax.fori_loop(0, block, lambda j, s: body(j, s), st)
+            # pace-based cull: lanes too stiff to finish inside the trip
+            # budget would exhaust it for EVERYONE (the shared controller
+            # runs at the worst live lane's step).  When the launch
+            # projects a shortfall (trips spent well ahead of time
+            # integrated), kill the lanes whose error-implied step
+            # h*(1/r)^0.2 cannot make the remaining pace — the batch
+            # analogue of the single-path solver's max_steps/buffer inf
+            # (solver/batched.py gives up globally; solver/dopri5.py:220
+            # sentinels singly).  Homogeneously stiff launches cull
+            # everyone, which the single path would also fail on budget.
+            spent = ((blk + 1) * block).astype(jnp.float32)
+            frac_spent = spent / float(trips)
+            t_frac = (st[0] - t0) / (t_end - t0)
+            pace = (t_end - st[0]) / jnp.maximum(float(trips) - spent, 1.0)
+            # r floor 1e-30 (not the controller's 1e-10): a healthy lane
+            # riding far below a grinder-pinned h has r ~ (h/h_need)^5 as
+            # small as 1e-15; a higher floor would cap its implied step at
+            # 100x h and cull it alongside the grinder
+            h_lane = st[3] * jnp.exp(
+                -0.2 * jnp.log(jnp.maximum(st[10], 1e-30)))
+            cull = (frac_spent >= 0.5) & (t_frac < frac_spent - 0.3)
+            alive_new = jnp.where(cull & (h_lane < 0.3 * pace), 0.0, st[5])
+            st = st[:5] + (alive_new,) + st[6:]
             base = blk * block
             c0 = pltpu.make_async_copy(
                 vm_sc, rec_sc.at[pl.ds(base, block)], sems.at[0])

@@ -373,7 +373,8 @@ def table_rollout_maes(spec: SyntheticStudy, params,
 
 def table_rollout_maes_pop(spec: SyntheticStudy, params_list,
                            noisy: bool = True, batch: int = 64,
-                           trips: int = 8192) -> list[dict]:
+                           trips: int = 8192,
+                           rescore_inf: bool = True) -> list[dict]:
     """table_rollout_maes for MANY candidate nets at once through the
     chained popsweep Pallas kernel (eval.simulate_population_real): up to
     64 members ride the 128-lane tile while the five protocols ride the
@@ -381,7 +382,13 @@ def table_rollout_maes_pop(spec: SyntheticStudy, params_list,
     run's checkpoints.  Same semantics as table_rollout_maes (canonical
     1e-6/1e-8 tolerances, Pr4 on sweeps 1-3, non-finite/dead lanes score
     inf).  TPU-only (run_study_validated falls back to the per-checkpoint
-    path elsewhere)."""
+    path elsewhere).
+
+    rescore_inf re-runs candidates whose batched score came back
+    non-finite through the per-checkpoint path: a lane the kernel culled
+    for outpacing the shared trip budget may still complete (slowly) on
+    its own, exactly as the reference scores it — so inf rows from the
+    batch are a fast negative filter, not a verdict."""
     from ionflux import protorec
     from ionflux.eval import simulate_population_real
     from ionflux.models.registry import TABLE1
@@ -390,6 +397,13 @@ def table_rollout_maes_pop(spec: SyntheticStudy, params_list,
     names = [n for _, n, _ in cols]
     n4 = protorec.PR4_N // 16
     sl4 = slice(n4, 4 * n4)
+    n_req = len(params_list)
+    # pad to whole batches by repeating the last candidate: the popsweep
+    # kernel compiles per member-count P, so a 56-member tail batch would
+    # otherwise cost a second multi-minute Mosaic compile
+    if n_req % batch:
+        params_list = params_list + [params_list[-1]] * (
+            batch - n_req % batch)
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
     maes = np.empty((len(params_list), len(cols)))
     for i0 in range(0, len(params_list), batch):
@@ -402,11 +416,14 @@ def table_rollout_maes_pop(spec: SyntheticStudy, params_list,
             maes[i0:i0 + batch, j] = np.mean(
                 np.abs(cur[n][:, sl] - data[None, sl]), axis=1)
     out = []
-    for row in maes:
+    for k, row in enumerate(maes[:n_req]):
         d = {label: float(row[j])
              for j, (label, _n, _yc) in enumerate(cols)}
         s = float(row.sum())
-        d["score"] = s if np.isfinite(s) else float("inf")
+        if not np.isfinite(s) and rescore_inf:
+            d = table_rollout_maes(spec, params_list[k], noisy)
+        else:
+            d["score"] = s if np.isfinite(s) else float("inf")
         out.append(d)
     return out
 

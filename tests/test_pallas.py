@@ -323,3 +323,42 @@ def test_popsweep_odd_q_padding():
     i_ref = simulate_family("nnf", member, protos, ts, SYNTHETIC)
     assert bool(jnp.all(jnp.isfinite(i_pop)))
     assert float(jnp.max(jnp.abs(i_pop[0] - i_ref))) < 5e-3
+
+
+def test_popsweep_pace_cull_reaps_grinder():
+    """A stiff-but-solvable member (da/dt = -K(a-0.5), K=1e3/ms: the
+    controller happily accepts ~3e-3 ms steps forever) must not exhaust
+    the shared trip budget for everyone: once the launch projects a
+    shortfall, the pace cull kills it (score inf — the single path's
+    max_steps verdict) and the healthy members complete accurately."""
+    import numpy as np
+
+    from ionflux.models.registry import NETSCALE
+    from ionflux.ops.pallas_solve import fused_nnf_popsweep_solve_ft
+
+    pop = jax.vmap(lambda k: nnf_init(k, HH_B06, n_layers=1,
+                                      n_nodes=16))(
+        jax.random.split(jax.random.PRNGKey(1), 3))
+    # member 1 -> hidden0 = a (LeakyReLU passthrough for a>=0),
+    # out = -K*NETSCALE*a + 0.5*K*NETSCALE => dadt = -K(a - 0.5)
+    K = 1e3
+    w0 = np.zeros((2, 16), np.float32); w0[1, 0] = 1.0
+    w1 = np.zeros((16, 1), np.float32); w1[0, 0] = -K * NETSCALE
+    nets = []
+    for li, (w, b) in enumerate(pop.net):
+        w = w.at[1].set(jnp.asarray(w0 if li == 0 else w1))
+        b = b.at[1].set(0.0 if li == 0 else 0.5 * K * NETSCALE)
+        nets.append((w, b))
+    protos = P.stack([P.activation_protocol(v, dt_ms=1.0)
+                      for v in (-40.0, 20.0)])
+    ts = jnp.linspace(0.0, 8000.0, 81, jnp.float32)
+    ys = fused_nnf_popsweep_solve_ft(nets, HH_B06, protos.v, ts,
+                                     proto_dt=1.0, trips=2048,
+                                     interpret=True)
+    assert bool(jnp.all(jnp.isinf(ys[1])))          # grinder culled
+    clean = fused_nnf_popsweep_solve_ft(
+        [(w, b) for w, b in pop.net], HH_B06, protos.v, ts, proto_dt=1.0,
+        trips=2048, interpret=True)
+    for m in (0, 2):
+        assert bool(jnp.all(jnp.isfinite(ys[m])))
+        assert float(jnp.max(jnp.abs(ys[m] - clean[m]))) < 1e-2
