@@ -177,7 +177,8 @@ def simulate_population_real(kind: str, pop_params, names: list[str],
                              seg_samples: int = 103_224,
                              rtol: float = 1e-5, atol: float = 1e-7,
                              interpret: bool = False,
-                             chunk: int = 4096) -> dict:
+                             chunk: int = 4096,
+                             voltages: dict | None = None) -> dict:
     """Currents for a POPULATION of nets on the named reconstructed REAL
     protocols -> {name: [P, N] at every 0.1 ms sample}: the popsweep
     kernel chained over ~10 s segments with local f32 clocks (the Pallas
@@ -189,7 +190,10 @@ def simulate_population_real(kind: str, pop_params, names: list[str],
 
     The checkpoint-validation workload (studies.table_rollout_maes over
     stacked candidate nets; reference analogue train-r1.py:928-959).
-    NN-f/NN-d only."""
+    NN-f/NN-d only.  voltages overrides the recorded waveforms with
+    {name: (v_samples, dt_ms)} — tiny stand-ins make the segmentation /
+    padding / chunk-assembly logic testable in interpret mode where the
+    464k-929k-sample recordings are not."""
     if kind not in ("nnf", "nnd"):
         raise ValueError("simulate_population_real supports the MLP "
                          "families (nnf/nnd) only")
@@ -203,7 +207,8 @@ def simulate_population_real(kind: str, pop_params, names: list[str],
     vs, lens = [], []
     dt = None
     for n in names:
-        v, dti = protorec.load_voltage(n)
+        v, dti = (voltages[n] if voltages is not None
+                  else protorec.load_voltage(n))
         assert dt is None or dti == dt
         dt = dti
         vs.append(np.asarray(v, np.float32))

@@ -362,3 +362,39 @@ def test_popsweep_pace_cull_reaps_grinder():
     for m in (0, 2):
         assert bool(jnp.all(jnp.isfinite(ys[m])))
         assert float(jnp.max(jnp.abs(ys[m] - clean[m]))) < 1e-2
+
+
+def test_simulate_population_real_standin_segmentation():
+    """The host-side segmentation/padding/chunk-assembly of
+    eval.simulate_population_real on tiny stand-in recordings of UNEQUAL
+    length (interpret mode): every 1 ms sample of each protocol's own
+    length must match the XLA chained-free single solve, and the shorter
+    protocol must be sliced back exactly."""
+    from ionflux.eval import simulate_population_real
+    from ionflux.models.registry import SYNTHETIC
+    from ionflux.observe import gate_current
+
+    pop = jax.vmap(lambda k: nnf_init(k, HH_B06, n_layers=1,
+                                      n_nodes=16))(
+        jax.random.split(jax.random.PRNGKey(1), 2))
+    pa = P.activation_protocol(20.0, dt_ms=1.0)
+    pb = P.activation_protocol(-30.0, dt_ms=1.0)
+    volts = {"a": (np.asarray(pa.v)[:6001], 1.0),
+             "b": (np.asarray(pb.v)[:3501], 1.0)}
+    cur = simulate_population_real(
+        "nnf", pop, ["a", "b"], SYNTHETIC, trips=1024, seg_samples=2048,
+        chunk=512, interpret=True, voltages=volts)
+    assert cur["a"].shape == (2, 6001) and cur["b"].shape == (2, 3501)
+
+    def rhs(t, y, a):
+        return nnf_rhs(a[0], t, y, P.voltage(a[1], t))
+
+    y0 = jnp.array([0.0, 1.0], jnp.float32)
+    single = jax.tree.map(lambda x: x[0], pop)
+    for n, proto, ln in (("a", pa, 6001), ("b", pb, 3501)):
+        ts = jnp.arange(ln, dtype=jnp.float32)
+        ys = odeint(rhs, y0, ts, (single, proto), rtol=1e-5, atol=1e-7)
+        i_ref = np.asarray(gate_current(ys, P.voltage(proto, ts),
+                                        SYNTHETIC))
+        err = float(np.max(np.abs(cur[n][0] - i_ref)))
+        assert err < 2e-2 * (i_ref.max() - i_ref.min()), (n, err)
