@@ -131,6 +131,13 @@ def simulate_family(kind: str, params, protos: list[P.Protocol],
     return jnp.stack([simulate(kind, params, pr, ts, c, **kw) for pr in protos])
 
 
+def _pop_shared(tree):
+    """Gate params are shared across members; a vmapped init carries them
+    with the population axis — collapse to member 0's scalars."""
+    return jax.tree.map(
+        lambda x: x[0] if getattr(x, "ndim", 0) > 0 else x, tree)
+
+
 def simulate_population(kind: str, pop_params, protos: list[P.Protocol],
                         ts: jnp.ndarray, c: Constants,
                         **kw) -> jnp.ndarray:
@@ -151,17 +158,11 @@ def simulate_population(kind: str, pop_params, protos: list[P.Protocol],
                          "(nnf/nnd) only")
     from ionflux.ops.pallas_solve import fused_nnf_popsweep_solve_ft
 
-    def shared(tree):
-        # gate params are shared across members; a vmapped init carries
-        # them with the population axis — collapse to member 0's scalars
-        return jax.tree.map(
-            lambda x: x[0] if getattr(x, "ndim", 0) > 0 else x, tree)
-
     b = P.stack(protos)
-    hh = None if kind == "nnf" else shared(pop_params.hh)
+    hh = None if kind == "nnf" else _pop_shared(pop_params.hh)
     ys = fused_nnf_popsweep_solve_ft(
         [(w, bb) for w, bb in pop_params.net],
-        shared(pop_params.rgate) if kind == "nnf" else hh, b.v, ts,
+        _pop_shared(pop_params.rgate) if kind == "nnf" else hh, b.v, ts,
         proto_t0=float(protos[0].t0), proto_dt=float(protos[0].dt),
         t_end=float(ts[-1]),
         rtol=kw.get("rtol", 1e-5), atol=kw.get("atol", 1e-7),
@@ -200,16 +201,15 @@ def simulate_population_real(kind: str, pop_params, names: list[str],
     from ionflux import protorec
     from ionflux.ops.pallas_solve import fused_nnf_popsweep_chained
 
-    def shared(tree):
-        return jax.tree.map(
-            lambda x: x[0] if getattr(x, "ndim", 0) > 0 else x, tree)
-
     vs, lens = [], []
     dt = None
     for n in names:
         v, dti = (voltages[n] if voltages is not None
                   else protorec.load_voltage(n))
-        assert dt is None or dti == dt
+        if dt is not None and dti != dt:
+            raise ValueError(
+                f"mixed sample rates: {n} has dt={dti} ms but earlier "
+                f"protocols have dt={dt} ms — all Q rows share one clock")
         dt = dti
         vs.append(np.asarray(v, np.float32))
         lens.append(len(v))
@@ -224,7 +224,7 @@ def simulate_population_real(kind: str, pop_params, names: list[str],
                       for b in range(n_seg)])            # [B, Q, seg+1]
 
     p_mem = pop_params.net[0][0].shape[0]
-    hh = None if kind == "nnf" else shared(pop_params.hh)
+    hh = None if kind == "nnf" else _pop_shared(pop_params.hh)
     out = {n: np.empty((p_mem, ln), np.float32)
            for n, ln in zip(names, lens)}
 
@@ -256,7 +256,7 @@ def simulate_population_real(kind: str, pop_params, names: list[str],
 
     fused_nnf_popsweep_chained(
         [(w, bb) for w, bb in pop_params.net],
-        shared(pop_params.rgate) if kind == "nnf" else hh,
+        _pop_shared(pop_params.rgate) if kind == "nnf" else hh,
         jnp.asarray(seg_v), proto_dt=float(dt), t_end=seg * float(dt),
         rtol=rtol, atol=atol, trips=trips, base_hh=hh,
         interpret=interpret, consume=consume)

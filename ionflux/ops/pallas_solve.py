@@ -1177,6 +1177,9 @@ def fused_nnf_popsweep_chained(
     (the validation-MAE path).  Without consume, returns ys stacked on the
     local grid ts ([B, P, Q, T, 2]) — small-T use only.
     Returns (result_or_None, y_final [P, Q, 2])."""
+    if consume is None and ts is None:
+        raise ValueError("fused_nnf_popsweep_chained needs either a "
+                         "consume callback or local output times ts")
     n_seg = seg_v.shape[0]
     if t_end is None:
         t_end = float(ts[-1]) if ts is not None else \

@@ -526,6 +526,12 @@ def run_study_validated(spec: SyntheticStudy, outdir: str, n_seeds: int = 6,
         batch_validate = (metric is table_rollout_maes
                           and spec.model_kind in ("nnf", "nnd")
                           and jax.devices()[0].platform != "cpu")
+    elif batch_validate and metric is not table_rollout_maes:
+        # the batched path scores table_rollout_maes semantics only —
+        # selecting on a silently different objective than the requested
+        # metric would be far worse than failing here
+        raise ValueError("batch_validate=True requires the default "
+                         "table_rollout_maes metric")
 
     total = iters if iters is not None else spec.iters
     best = (float("inf"), None, -1, -1)
@@ -558,13 +564,15 @@ def run_study_validated(spec: SyntheticStudy, outdir: str, n_seeds: int = 6,
             if m["score"] < best[0]:
                 best = (m["score"], wrap_net(sspec, net), seed, done)
     if batch_validate and collected:
-        res = table_rollout_maes_pop(spec, [p for _, _, p in collected])
-        if not any(np.isfinite(m["score"]) for m in res):
-            # a trips shortfall (launch ok=False) scores EVERY lane inf —
-            # distinguishable from genuinely divergent checkpoints only by
-            # re-scoring; fall back to the per-checkpoint path rather than
-            # aborting a finished training run
-            print("batched rollout scoring produced no finite score; "
+        # inf rows are already rescored per-checkpoint inside
+        # table_rollout_maes_pop (rescore_inf), so no all-inf retry here;
+        # but a kernel/compile/tunnel failure AFTER the full training loop
+        # must not discard every checkpoint — fall back to the
+        # per-checkpoint path on any exception
+        try:
+            res = table_rollout_maes_pop(spec, [p for _, _, p in collected])
+        except Exception as exc:
+            print(f"batched rollout scoring failed ({exc!r}); "
                   "falling back to per-checkpoint rollouts")
             res = [metric(spec, p) for _, _, p in collected]
         for (seed, it, p), m in zip(collected, res):
