@@ -156,21 +156,75 @@ def simulate_population(kind: str, pop_params, protos: list[P.Protocol],
     if kind not in ("nnf", "nnd"):
         raise ValueError("simulate_population supports the MLP families "
                          "(nnf/nnd) only")
-    from ionflux.ops.pallas_solve import fused_nnf_popsweep_solve_ft
-
     b = P.stack(protos)
     hh = None if kind == "nnf" else _pop_shared(pop_params.hh)
+    rg = _pop_shared(pop_params.rgate) if kind == "nnf" else hh
+    nets = [(w, bb) for w, bb in pop_params.net]
+    return _population_currents(nets, rg, hh, b, ts, c,
+                                t0f=float(protos[0].t0),
+                                dtf=float(protos[0].dt),
+                                t_endf=float(ts[-1]), **kw)
+
+
+def _population_currents(nets, rg, hh, b: P.Protocol, ts, c: Constants, *,
+                         t0f: float, dtf: float, t_endf: float,
+                         **kw) -> jnp.ndarray:
+    """One popsweep launch: P member nets (shard or whole population) x
+    the stacked protocols b -> currents [P, Q, T].  t0f/dtf are the
+    protocol clock as python floats — computed by the CALLER from the
+    concrete protocols, because under shard_map the closed-over b/ts are
+    tracers and float() on them fails."""
+    from ionflux.ops.pallas_solve import fused_nnf_popsweep_solve_ft
+
     ys = fused_nnf_popsweep_solve_ft(
-        [(w, bb) for w, bb in pop_params.net],
-        _pop_shared(pop_params.rgate) if kind == "nnf" else hh, b.v, ts,
-        proto_t0=float(protos[0].t0), proto_dt=float(protos[0].dt),
-        t_end=float(ts[-1]),
+        nets, rg, b.v, ts,
+        proto_t0=t0f, proto_dt=dtf,
+        t_end=t_endf,
         rtol=kw.get("rtol", 1e-5), atol=kw.get("atol", 1e-7),
         trips=kw.get("trips", 4096),
         base_hh=hh,
         interpret=kw.get("interpret", False))                  # [P, Q, T, 2]
     v = jax.vmap(lambda pr: P.voltage(pr, ts))(b)              # [Q, T]
     return gate_current(ys, v[None], c)
+
+
+def simulate_population_sharded(kind: str, pop_params,
+                                protos: list[P.Protocol], ts: jnp.ndarray,
+                                c: Constants, mesh=None, axis: str = "pop",
+                                **kw) -> jnp.ndarray:
+    """simulate_population with the member axis SHARDED across a device
+    mesh: members are independent, so each device runs its OWN fused
+    popsweep launch on its member shard and no collective enters the
+    solve — ICI only carries the output gather (SURVEY.md §5.8; the
+    scaling-book recipe: pick a mesh, annotate the population axis, let
+    XLA place the rest).  The multi-chip form of the checkpoint-
+    validation / ensemble-replay workload; P must divide evenly over the
+    mesh axis.  On the virtual CPU mesh use interpret=True."""
+    from ionflux.parallel.mesh import make_mesh, sharded_map
+
+    if kind not in ("nnf", "nnd"):
+        raise ValueError("simulate_population_sharded supports the MLP "
+                         "families (nnf/nnd) only")
+    if mesh is None:
+        mesh = make_mesh(axes=(axis,))
+    n_dev = mesh.shape[axis]
+    p_mem = pop_params.net[0][0].shape[0]
+    if p_mem % n_dev:
+        raise ValueError(f"population {p_mem} does not divide over the "
+                         f"{n_dev}-device '{axis}' mesh axis")
+    b = P.stack(protos)
+    hh = None if kind == "nnf" else _pop_shared(pop_params.hh)
+    rg = _pop_shared(pop_params.rgate) if kind == "nnf" else hh
+    nets = [(w, bb) for w, bb in pop_params.net]
+
+    t0f, dtf = float(protos[0].t0), float(protos[0].dt)
+    t_endf = float(ts[-1])
+
+    def local(nets_shard):
+        return _population_currents(nets_shard, rg, hh, b, ts, c,
+                                    t0f=t0f, dtf=dtf, t_endf=t_endf, **kw)
+
+    return jax.jit(sharded_map(mesh, axis, local))(nets)
 
 
 def simulate_population_real(kind: str, pop_params, names: list[str],

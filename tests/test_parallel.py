@@ -69,3 +69,34 @@ def test_data_parallel_gradient_matches_single_device(mesh):
         g_sharded = step(w, x, y)
     np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single),
                                rtol=1e-6)
+
+
+def test_simulate_population_sharded_matches_unsharded(mesh):
+    """The flagship popsweep kernel sharded over the pop axis (one launch
+    per device, no collective in the solve) == the single-launch result,
+    on the virtual 8-device CPU mesh in interpret mode."""
+    from ionflux import protocols as P
+    from ionflux.eval import simulate_population, simulate_population_sharded
+    from ionflux.models import nnf_init
+    from ionflux.models.registry import HH_B06, SYNTHETIC
+
+    pop = jax.vmap(lambda k: nnf_init(k, HH_B06, n_layers=1,
+                                      n_nodes=16))(
+        jax.random.split(jax.random.PRNGKey(2), 16))
+    protos = [P.activation_protocol(v, dt_ms=1.0) for v in (-40.0, 20.0)]
+    ts = jnp.linspace(0.0, 8000.0, 81, jnp.float32)
+    i_ref = np.asarray(simulate_population("nnf", pop, protos, ts,
+                                           SYNTHETIC, trips=1024,
+                                           interpret=True))
+    i_sh = np.asarray(simulate_population_sharded(
+        "nnf", pop, protos, ts, SYNTHETIC, mesh=mesh, trips=1024,
+        interpret=True))
+    assert i_sh.shape == i_ref.shape == (16, 2, 81)
+    # per-shard launches run their OWN shared controller (2 members vs 16
+    # per step decision), so step sequences differ within solve tolerance
+    np.testing.assert_allclose(i_sh, i_ref, atol=5e-3)
+
+    with pytest.raises(ValueError):
+        simulate_population_sharded(
+            "nnf", jax.tree.map(lambda x: x[:6], pop), protos, ts,
+            SYNTHETIC, mesh=mesh, trips=256, interpret=True)
