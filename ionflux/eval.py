@@ -138,6 +138,17 @@ def _pop_shared(tree):
         lambda x: x[0] if getattr(x, "ndim", 0) > 0 else x, tree)
 
 
+def _pop_split(kind: str, pop_params):
+    """(nets, rgate_or_base, base_hh) from a population NNfParams/NNdParams
+    — the common unpacking of every population entry point."""
+    if kind not in ("nnf", "nnd"):
+        raise ValueError("population paths support the MLP families "
+                         "(nnf/nnd) only")
+    hh = None if kind == "nnf" else _pop_shared(pop_params.hh)
+    rg = _pop_shared(pop_params.rgate) if kind == "nnf" else hh
+    return [(w, bb) for w, bb in pop_params.net], rg, hh
+
+
 def simulate_population(kind: str, pop_params, protos: list[P.Protocol],
                         ts: jnp.ndarray, c: Constants,
                         **kw) -> jnp.ndarray:
@@ -153,13 +164,8 @@ def simulate_population(kind: str, pop_params, protos: list[P.Protocol],
     population axis (e.g. from jax.vmap(nnf_init) or stacked checkpoints);
     rgate/hh scalars are shared across members.  NN-f/NN-d only.
     """
-    if kind not in ("nnf", "nnd"):
-        raise ValueError("simulate_population supports the MLP families "
-                         "(nnf/nnd) only")
     b = P.stack(protos)
-    hh = None if kind == "nnf" else _pop_shared(pop_params.hh)
-    rg = _pop_shared(pop_params.rgate) if kind == "nnf" else hh
-    nets = [(w, bb) for w, bb in pop_params.net]
+    nets, rg, hh = _pop_split(kind, pop_params)
     return _population_currents(nets, rg, hh, b, ts, c,
                                 t0f=float(protos[0].t0),
                                 dtf=float(protos[0].dt),
@@ -202,9 +208,6 @@ def simulate_population_sharded(kind: str, pop_params,
     mesh axis.  On the virtual CPU mesh use interpret=True."""
     from ionflux.parallel.mesh import make_mesh, sharded_map
 
-    if kind not in ("nnf", "nnd"):
-        raise ValueError("simulate_population_sharded supports the MLP "
-                         "families (nnf/nnd) only")
     if mesh is None:
         mesh = make_mesh(axes=(axis,))
     n_dev = mesh.shape[axis]
@@ -213,9 +216,7 @@ def simulate_population_sharded(kind: str, pop_params,
         raise ValueError(f"population {p_mem} does not divide over the "
                          f"{n_dev}-device '{axis}' mesh axis")
     b = P.stack(protos)
-    hh = None if kind == "nnf" else _pop_shared(pop_params.hh)
-    rg = _pop_shared(pop_params.rgate) if kind == "nnf" else hh
-    nets = [(w, bb) for w, bb in pop_params.net]
+    nets, rg, hh = _pop_split(kind, pop_params)
 
     t0f, dtf = float(protos[0].t0), float(protos[0].dt)
     t_endf = float(ts[-1])
@@ -249,11 +250,10 @@ def simulate_population_real(kind: str, pop_params, names: list[str],
     {name: (v_samples, dt_ms)} — tiny stand-ins make the segmentation /
     padding / chunk-assembly logic testable in interpret mode where the
     464k-929k-sample recordings are not."""
-    if kind not in ("nnf", "nnd"):
-        raise ValueError("simulate_population_real supports the MLP "
-                         "families (nnf/nnd) only")
     from ionflux import protorec
     from ionflux.ops.pallas_solve import fused_nnf_popsweep_chained
+
+    nets, rg, hh = _pop_split(kind, pop_params)
 
     vs, lens = [], []
     dt = None
@@ -277,8 +277,7 @@ def simulate_population_real(kind: str, pop_params, names: list[str],
     seg_v = np.stack([padded[:, b * seg:b * seg + seg + 1]
                       for b in range(n_seg)])            # [B, Q, seg+1]
 
-    p_mem = pop_params.net[0][0].shape[0]
-    hh = None if kind == "nnf" else _pop_shared(pop_params.hh)
+    p_mem = nets[0][0].shape[0]
     out = {n: np.empty((p_mem, ln), np.float32)
            for n, ln in zip(names, lens)}
 
@@ -309,8 +308,7 @@ def simulate_population_real(kind: str, pop_params, names: list[str],
                 out[n][:, lo:hi] = ii[:, qi, :hi - lo]
 
     fused_nnf_popsweep_chained(
-        [(w, bb) for w, bb in pop_params.net],
-        _pop_shared(pop_params.rgate) if kind == "nnf" else hh,
+        nets, rg,
         jnp.asarray(seg_v), proto_dt=float(dt), t_end=seg * float(dt),
         rtol=rtol, atol=atol, trips=trips, base_hh=hh,
         interpret=interpret, consume=consume)
