@@ -31,6 +31,11 @@ import numpy as np
 
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_CPU.json")
+# last successful on-chip measurement: attached (clearly labelled) to a
+# CPU-fallback emit so a TPU-tunnel outage at bench time doesn't erase the
+# round's real perf datum (outages of 45+ min observed)
+TPU_LAST_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_TPU_LAST.json")
 BATCH = 32
 N_OUT = 4001
 
@@ -586,19 +591,32 @@ def main():
                     rec.update(prec)
                 elif perr:
                     log(f"pallas popsweep metric skipped: {perr}")
+            try:
+                with open(TPU_LAST_FILE, "w") as fh:
+                    json.dump({"measured_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%S"), **rec}, fh, indent=1)
+            except OSError:
+                pass
             emit(rec.pop("solves_per_sec"), baseline, **rec)
             return
     else:
         log("bench: TPU backend unreachable, falling back to CPU")
 
+    last_tpu = None
+    if os.path.exists(TPU_LAST_FILE):
+        try:
+            with open(TPU_LAST_FILE) as fh:
+                last_tpu = json.load(fh)
+        except (OSError, ValueError):
+            pass
     rec, err = _run_measure_subprocess("cpu", max(60.0, remaining()))
     if rec is not None:
         emit(rec.pop("solves_per_sec"), baseline, backend="cpu-fallback",
-             error="; ".join(errors), **{k: v for k, v in rec.items()
-                                         if k in ("batch", "scaling")})
+             error="; ".join(errors), last_tpu=last_tpu,
+             **{k: v for k, v in rec.items() if k in ("batch", "scaling")})
         return
     errors.append(err)
-    emit(None, baseline, error="; ".join(errors))
+    emit(None, baseline, error="; ".join(errors), last_tpu=last_tpu)
 
 
 def dry_run():
