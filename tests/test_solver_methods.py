@@ -357,3 +357,36 @@ def test_vcabm_blowup_sentinel():
                           max_steps=20_000, return_stats=True)
     assert not bool(st.ok)
     assert not bool(jnp.isfinite(ys[-1]).all())
+
+
+def test_fuzz_vcabm_adams_match_dopri5_on_random_protocols():
+    """The alternative --method paths (variable-order VCABM, fixed ABM4)
+    on random staircase protocols x perturbed HH parameters agree with
+    dopri5 within the 1e-3 parity bound (3 seeded cases each)."""
+    import numpy as np
+
+    from ionflux.models.registry import HH_B06, HHParams
+    from ionflux.solver.adams import odeint_adams
+    from ionflux.solver.vcabm import odeint_vcabm
+
+    rng = np.random.RandomState(11)
+    ts = jnp.linspace(0.0, 4000.0, 401, dtype=jnp.float32)
+    y0 = jnp.array([0.0, 1.0], jnp.float32)
+    for case in range(3):
+        levels = rng.uniform(-120.0, 60.0, 8)
+        v_knots = np.repeat(levels, 500).astype(np.float32)
+        v_knots = np.append(v_knots, v_knots[-1]).astype(np.float32)
+        proto = P.Protocol(jnp.float32(0.0), jnp.float32(1.0),
+                           jnp.asarray(v_knots))
+        pvec = np.array([float(x) for x in HH_B06])
+        pvec[0::2] *= np.exp(rng.uniform(-0.5, 0.5, 4))
+        pvec[1::2] *= np.exp(rng.uniform(-0.1, 0.1, 4))
+        params = HHParams(*[jnp.float32(x) for x in pvec])
+        args = (params, proto)
+
+        ref = odeint(hh_proto_rhs, y0, ts, args, rtol=1e-7, atol=1e-9)
+        for name, solver in (("vcabm", odeint_vcabm),
+                             ("adams", odeint_adams)):
+            ys = solver(hh_proto_rhs, y0, ts, args, rtol=1e-6, atol=1e-8)
+            err = float(jnp.max(jnp.abs(ys - ref)))
+            assert err < 1e-3, (name, case, err)
