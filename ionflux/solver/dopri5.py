@@ -139,6 +139,7 @@ def odeint(
     breakpoints: jnp.ndarray | None = None,
     dt_max: float | None = None,
     return_stats: bool = False,
+    error_weight: jnp.ndarray | None = None,
 ):
     """Integrate dy/dt = fn(t, y, args) from ts[0], returning y at all ``ts``.
 
@@ -146,7 +147,13 @@ def odeint(
     pass parameters/protocols through the traced ``args`` pytree so repeated
     calls hit the jit cache. ts: ascending [T]. Returns ys [T, S]
     (and SolveStats if return_stats).
-    """
+
+    error_weight [S] (optional) defines a SEMINORM for step control:
+    ratio = sqrt(sum(w*(err/scale)^2)/sum(w)).  Zero-weight components are
+    integrated but not error-controlled — e.g. quadrature outputs whose
+    derivative does not depend on themselves, like the parameter-cotangent
+    block of the adjoint's augmented state (Kidger et al. 2021,
+    'Hey, that's not an ODE', PAPERS.md)."""
     rhs = lambda t, y: fn(t, y, args)  # noqa: E731
     dtype = y0.dtype
     ts = ts.astype(dtype)
@@ -193,7 +200,12 @@ def odeint(
 
         y1, f1, k, err = _rk_step(rhs, t, y, f, h_eff, tab)
         scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
-        ratio = _rms(err / scale)
+        if error_weight is None:
+            ratio = _rms(err / scale)
+        else:
+            ratio = jnp.sqrt(
+                jnp.sum(error_weight * jnp.square(err / scale))
+                / jnp.sum(error_weight))
         finite = jnp.all(jnp.isfinite(y1)) & jnp.isfinite(ratio)
         accept = (ratio <= 1.0) & finite
 

@@ -390,3 +390,58 @@ def test_fuzz_vcabm_adams_match_dopri5_on_random_protocols():
             ys = solver(hh_proto_rhs, y0, ts, args, rtol=1e-6, atol=1e-8)
             err = float(jnp.max(jnp.abs(ys - ref)))
             assert err < 1e-3, (name, case, err)
+
+
+def test_seminorm_error_weight_reduces_steps():
+    """error_weight=0 on a pure-quadrature component lets the controller
+    step at the dynamic component's pace: fewer steps, same dynamic-state
+    accuracy, quadrature still within its smoothness bound (Kidger 2021
+    seminorm adjoints, PAPERS.md)."""
+    import numpy as np
+
+    # q(0) = 0 makes q's scale atol-dominated early, forcing the FULL
+    # norm to tiny steps even though q is a smooth integral of y — the
+    # exact shape of the adjoint's parameter-cotangent block, which
+    # restarts at zero every backward interval
+    def rhs(t, v, args):
+        return jnp.stack([-0.1 * v[0], v[0]])
+
+    v0 = jnp.array([1.0, 0.0], jnp.float32)
+    ts = jnp.linspace(0.0, 20.0, 5, dtype=jnp.float32)
+    full, st_f = odeint(rhs, v0, ts, None, rtol=1e-6, atol=1e-8,
+                        return_stats=True)
+    semi, st_s = odeint(rhs, v0, ts, None, rtol=1e-6, atol=1e-8,
+                        error_weight=jnp.array([1.0, 0.0], jnp.float32),
+                        return_stats=True)
+    assert int(st_s.n_steps) < int(st_f.n_steps), (
+        int(st_s.n_steps), int(st_f.n_steps))
+    # the controlled component is unchanged; the smooth quadrature stays
+    # accurate at the dynamic pace despite not being error-controlled
+    assert float(jnp.max(jnp.abs(semi[:, 0] - full[:, 0]))) < 1e-5
+    assert float(jnp.max(jnp.abs(semi[:, 1] - full[:, 1]))) < 1e-3
+
+
+def test_adjoint_seminorm_matches_full_norm_gradients():
+    """Default seminorm backward == full-norm backward gradients (HH
+    parameters through a protocol solve) to 1e-3 relative."""
+    import numpy as np
+
+    from ionflux.models.registry import HH_B06
+
+    proto = P.activation_protocol(20.0, dt_ms=1.0)
+    ts = jnp.linspace(0.0, 2000.0, 21, dtype=jnp.float32)
+    y0 = jnp.array([0.0, 1.0], jnp.float32)
+    p0 = jnp.stack([jnp.float32(x) for x in HH_B06])
+
+    def loss(pv, seminorm):
+        from ionflux.models.registry import HHParams
+
+        ys = odeint_adjoint(hh_proto_rhs, y0, ts,
+                            (HHParams(*pv), proto), 1e-6, 1e-8,
+                            100_000, 4096, seminorm)
+        return jnp.sum(ys[:, 0] ** 2)
+
+    g_semi = jax.grad(loss)(p0, True)
+    g_full = jax.grad(loss)(p0, False)
+    np.testing.assert_allclose(np.asarray(g_semi), np.asarray(g_full),
+                               rtol=1e-3, atol=1e-10)
