@@ -61,9 +61,13 @@ def test_bench_emits_json_on_total_failure():
     # resilience contract (VERDICT r1 weak #1): even when every measurement
     # attempt fails, bench.main() must still print one JSON line with an
     # "error" field rather than dying rc!=0.
+    # the real backend probe is also stubbed: against a HUNG tunnel its
+    # bounded timeouts alone exceed this test's budget (45+ min outages
+    # observed) — the contract under test is the emit logic, not the probe
     code = (
         "import sys, bench;"
         "bench._run_measure_subprocess = lambda b, t: (None, 'boom:'+b);"
+        "bench._probe_backend = lambda t: (True, None);"
         "bench.main()"
     )
     out = _run([sys.executable, "-c", code], timeout=120)
