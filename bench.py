@@ -44,6 +44,36 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _trace_ctx(case: str):
+    """jax.profiler trace around a timed bench case when
+    IONFLUX_BENCH_TRACE=1 (SURVEY §5.1 rebuild note): one trace dir per
+    case under out/bench-traces/, viewable with tensorboard/xprof."""
+    from contextlib import nullcontext
+
+    if os.environ.get("IONFLUX_BENCH_TRACE") != "1":
+        return nullcontext()
+    import jax
+
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "out", "bench-traces", case)
+    os.makedirs(d, exist_ok=True)
+    return jax.profiler.trace(d)
+
+
+def _median_reps(fn, n_rep: int) -> tuple[float, list[float]]:
+    """Median-of-k timing with a device sync per rep: the remote tunnel's
+    dispatch latency fluctuates 2-5x between runs (VERDICT r3 weak #2), so
+    a single mean-of-burst is not reproducible; the median of individually
+    synced reps is."""
+    times = []
+    for _ in range(n_rep):
+        t0 = time.perf_counter()
+        out = fn()
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), [round(t, 4) for t in times]
+
+
 def sinewave_voltage(t: np.ndarray) -> np.ndarray:
     """Sinewave-style protocol (Beattie-2018-like): hold, leak step, then a
     sum-of-three-sines exploration segment."""
@@ -143,14 +173,13 @@ def measure_tpu(force_cpu: bool = False) -> dict:
         if (warm_s > 10.0
                 or time.monotonic() - t_measure0 > m_budget * 0.5):
             n_rep = 1
-        t0 = time.perf_counter()
-        for _ in range(n_rep):
-            out = batched(pop_b)
-        out.block_until_ready()
-        dt = (time.perf_counter() - t0) / n_rep
+        with _trace_ctx(f"xla-b{b}" + (f"-ml{max_lanes}" if max_lanes
+                                       else "")):
+            dt, reps = _median_reps(lambda: batched(pop_b), n_rep)
         sps = b / dt
         tag = f"batch {b}" + (f" (chunked {max_lanes})" if max_lanes else "")
-        log(f"{tag}: {b} solves in {dt*1e3:.1f} ms -> {sps:.2f} solves/s")
+        log(f"{tag}: {b} solves, median of {n_rep} reps {dt*1e3:.1f} ms -> "
+            f"{sps:.2f} solves/s (reps {reps})")
         return sps, dt, pop_b, y0b
 
     # batch-scaling probe: the lockstep solve is sequential over steps; more
@@ -186,18 +215,17 @@ def measure_tpu(force_cpu: bool = False) -> dict:
             out.block_until_ready()
             warm_s = time.perf_counter() - t_w
             assert bool(jax.numpy.all(jax.numpy.isfinite(out)))
-            n_rep = 1 if warm_s > 10.0 else 5
-            t0 = time.perf_counter()
-            for _ in range(n_rep):
-                out = fpal(pop_b)
-            out.block_until_ready()
-            dt = (time.perf_counter() - t0) / n_rep
+            n_rep = 3 if warm_s > 10.0 else 7
+            with _trace_ctx("pallas-pop"):
+                dt, reps = _median_reps(lambda: fpal(pop_b), n_rep)
             sps = b / dt
-            log(f"batch {b} (pallas pop kernel): {b} solves in "
-                f"{dt*1e3:.1f} ms -> {sps:.2f} solves/s")
+            log(f"batch {b} (pallas pop kernel): {b} solves, median of "
+                f"{n_rep} reps {dt*1e3:.1f} ms -> {sps:.2f} solves/s "
+                f"(reps {reps})")
             scaling.append({"batch": b, "max_lanes": None,
                             "kernel": "pallas-pop",
-                            "solves_per_sec": round(sps, 1)})
+                            "solves_per_sec": round(sps, 1),
+                            "rep_seconds": reps})
             best = (sps, dt, b, pop_b,
                     jax.numpy.tile(jax.numpy.array([0.0, 1.0],
                                                    jax.numpy.float32),
@@ -290,16 +318,14 @@ def measure_pallas_sweep() -> dict:
     ys = fused(protos.v)
     ys.block_until_ready()
     assert bool(jnp.all(jnp.isfinite(ys))), "pallas sweep solve diverged"
-    t0 = time.perf_counter()
-    for _ in range(5):
-        ys = fused(protos.v)
-    ys.block_until_ready()
-    dt = (time.perf_counter() - t0) / 5
+    with _trace_ctx("pallas-sweep"):
+        dt, reps = _median_reps(lambda: fused(protos.v), 7)
     sps = b / dt
-    log(f"pallas-ft sweep: {b} solves in {dt*1e3:.1f} ms -> "
-        f"{sps:.1f} solves/s")
+    log(f"pallas-ft sweep: {b} solves, median {dt*1e3:.1f} ms -> "
+        f"{sps:.1f} solves/s (reps {reps})")
     return {"pallas_sweep_solves_per_sec": round(sps, 1),
-            "pallas_sweep_batch": b}
+            "pallas_sweep_batch": b,
+            "pallas_sweep_rep_seconds": reps}
 
 
 def measure_pallas_popsweep() -> dict:
@@ -352,17 +378,188 @@ def measure_pallas_popsweep() -> dict:
     ys = fused(pop_net)
     ys.block_until_ready()
     assert bool(jnp.all(jnp.isfinite(ys))), "pallas popsweep solve diverged"
-    t0 = time.perf_counter()
-    for _ in range(3):
-        ys = fused(pop_net)
-    ys.block_until_ready()
-    dt = (time.perf_counter() - t0) / 3
+    with _trace_ctx("pallas-popsweep"):
+        dt, reps = _median_reps(lambda: fused(pop_net), 5)
     sps = p_mem * q / dt
-    log(f"pallas-ft popsweep: {p_mem}x{q} = {p_mem*q} solves in "
-        f"{dt*1e3:.1f} ms -> {sps:.1f} solves/s")
+    log(f"pallas-ft popsweep: {p_mem}x{q} = {p_mem*q} solves, median "
+        f"{dt*1e3:.1f} ms -> {sps:.1f} solves/s (reps {reps})")
     return {"pallas_popsweep_solves_per_sec": round(sps, 1),
             "pallas_popsweep_members": p_mem,
-            "pallas_popsweep_protocols": q}
+            "pallas_popsweep_protocols": q,
+            "pallas_popsweep_rep_seconds": reps}
+
+
+# ---------------------------------------------------------------------------
+# Epoch-time metric (the driver BASELINE.json literally names
+# "sinewave-protocol NN-f epoch time"): one reference "epoch" is 400 Adam
+# iterations on the derivative surface followed by the validation rollouts
+# that drive best-checkpoint selection (train-r1.py:917-960: odeint on APs +
+# Pr5 every 400 iters).  Here: 400 scanned optax-Adam steps on a
+# sinewave-study-sized surface + a 2-rollout validation solve on the 8 s
+# sinewave protocol.
+# ---------------------------------------------------------------------------
+
+EPOCH_SURFACE_N = 4096
+EPOCH_ITERS = 400
+EPOCH_VAL_ROLLOUTS = 2
+
+
+def _epoch_surface(seed: int = 0):
+    """(V/vrange, a) -> da/dt training surface of the sinewave-study shape
+    (the r1 sine-window + Pr3/Pr5 masked samples land at a few thousand
+    points after skip/sparse subsampling, train-r1.py:391-392)."""
+    from ionflux.models.registry import HH_B06
+
+    rng = np.random.default_rng(seed)
+    v = rng.uniform(-120.0, 60.0, EPOCH_SURFACE_N)
+    a = rng.uniform(0.0, 1.0, EPOCH_SURFACE_N)
+    k1 = float(HH_B06.p1) * np.exp(float(HH_B06.p2) * v)
+    k2 = float(HH_B06.p3) * np.exp(-float(HH_B06.p4) * v)
+    dadt = k1 * (1.0 - a) - k2 * a
+    x = np.stack([v / 100.0, a], axis=-1).astype(np.float32)
+    return x, dadt.astype(np.float32)
+
+
+def measure_epoch(force_cpu: bool = False) -> dict:
+    """One NN-f sinewave-study training epoch on device: 400 jit-scanned
+    Adam steps on the surface + the 2-rollout validation solve."""
+    import jax
+
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(BASELINE_FILE),
+                                   ".jax_cache"))
+
+    from ionflux import protocols as P
+    from ionflux.fit.train import fit_chunk, init_opt_state
+    from ionflux.models import nnf_init
+    from ionflux.models.registry import HH_B06, NETSCALE, VRANGE
+    from ionflux.solver import odeint_batched
+
+    params = nnf_init(jax.random.PRNGKey(0), HH_B06)
+    xs, ys = _epoch_surface()
+    x = jnp.asarray(xs)
+    y = jnp.asarray(ys)
+    opt0 = init_opt_state(params.net, step_size=EPOCH_ITERS)
+
+    def train_epoch():
+        net, _opt, losses = fit_chunk(params.net, opt0, x, y,
+                                      iters=EPOCH_ITERS)
+        return losses
+
+    train_epoch()[0].block_until_ready()  # compile
+    with _trace_ctx("epoch-train"):
+        t_train, reps_t = _median_reps(
+            lambda: train_epoch(), 3)
+
+    knots = np.linspace(0.0, 8000.0, 80001)
+    proto = P.Protocol(jnp.float32(0.0), jnp.float32(0.1),
+                       jnp.asarray(sinewave_voltage(knots), jnp.float32))
+    ts = jnp.linspace(0.0, 8000.0, N_OUT, dtype=jnp.float32)
+
+    def rhs(t, yv, args):
+        net, pr = args
+        v = P.voltage(pr, t)
+        h = jnp.stack([jnp.full((yv.shape[0],), v / VRANGE), yv[:, 0]],
+                      axis=-1)
+        for wi, (w, bb) in enumerate(net):
+            h = h @ w + bb
+            if wi < len(net) - 1:
+                h = jnp.where(h >= 0, h, 0.01 * h)
+        dadt = h[:, 0] / NETSCALE
+        k3 = HH_B06.p5 * jnp.exp(HH_B06.p6 * v)
+        k4 = HH_B06.p7 * jnp.exp(-HH_B06.p8 * v)
+        drdt = -k3 * yv[:, 1] + k4 * (1.0 - yv[:, 1])
+        return jnp.stack([dadt, drdt], axis=-1)
+
+    y0 = jnp.tile(jnp.array([0.0, 1.0], jnp.float32),
+                  (EPOCH_VAL_ROLLOUTS, 1))
+    val = jax.jit(lambda net: odeint_batched(
+        rhs, y0, ts, (net, proto), rtol=1e-5, atol=1e-7, buffer_size=4096))
+    out = val(params.net)
+    out.block_until_ready()
+    assert bool(jnp.all(jnp.isfinite(out))), "validation rollout diverged"
+    with _trace_ctx("epoch-val"):
+        t_val, reps_v = _median_reps(lambda: val(params.net), 3)
+
+    epoch = t_train + t_val
+    log(f"epoch: train {t_train:.3f}s (400 iters, reps {reps_t}) + val "
+        f"{t_val:.3f}s ({EPOCH_VAL_ROLLOUTS} rollouts, reps {reps_v}) = "
+        f"{epoch:.3f}s")
+    return {"nnf_sinewave_epoch_time": round(epoch, 4),
+            "epoch_train_seconds": round(t_train, 4),
+            "epoch_val_seconds": round(t_val, 4)}
+
+
+def measure_torch_epoch_baseline() -> float:
+    """Reference-style epoch on CPU: 400 torch-Adam full-batch steps on the
+    same-size surface (measured, extrapolated from a bounded slice) plus
+    EPOCH_VAL_ROLLOUTS validation solves at the cached torchdiffeq-style
+    solve time (train-r1.py:917-960)."""
+    import torch
+
+    torch.manual_seed(0)
+    net = torch.nn.Sequential(
+        torch.nn.Linear(2, 200), torch.nn.LeakyReLU(),
+        torch.nn.Linear(200, 200), torch.nn.LeakyReLU(),
+        torch.nn.Linear(200, 200), torch.nn.LeakyReLU(),
+        torch.nn.Linear(200, 200), torch.nn.LeakyReLU(),
+        torch.nn.Linear(200, 200), torch.nn.LeakyReLU(),
+        torch.nn.Linear(200, 200), torch.nn.LeakyReLU(),
+        torch.nn.Linear(200, 1),
+    )
+    xs, ys = _epoch_surface()
+    xt = torch.from_numpy(xs)
+    yt = torch.from_numpy(ys)
+    opt = torch.optim.Adam(net.parameters(), lr=1e-3)
+    # warmup + measure a slice, extrapolate to EPOCH_ITERS
+    n_slice = 20
+    for _ in range(3):
+        opt.zero_grad()
+        loss = torch.sum((net(xt)[:, 0] / 1000.0 - yt) ** 2)
+        loss.backward()
+        opt.step()
+    t0 = time.perf_counter()
+    for _ in range(n_slice):
+        opt.zero_grad()
+        loss = torch.sum((net(xt)[:, 0] / 1000.0 - yt) ** 2)
+        loss.backward()
+        opt.step()
+    t_train = (time.perf_counter() - t0) / n_slice * EPOCH_ITERS
+    solve_sps = get_baseline()
+    t_val = EPOCH_VAL_ROLLOUTS / solve_sps
+    epoch = t_train + t_val
+    log(f"baseline torch epoch: train {t_train:.1f}s + val {t_val:.1f}s "
+        f"({EPOCH_VAL_ROLLOUTS} rollouts at cached solve rate) = "
+        f"{epoch:.1f}s")
+    return epoch
+
+
+def get_epoch_baseline() -> float | None:
+    """Torch-CPU epoch seconds, measured once and cached alongside the
+    solve baseline in BASELINE_CPU.json."""
+    d = {}
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as fh:
+            d = json.load(fh)
+        if "epoch_seconds" in d:
+            log(f"epoch baseline (cached): {d['epoch_seconds']:.1f}s")
+            return float(d["epoch_seconds"])
+    try:
+        epoch = measure_torch_epoch_baseline()
+    except Exception as exc:  # pragma: no cover
+        log(f"epoch baseline measurement failed: {exc}")
+        return None
+    d["epoch_seconds"] = round(epoch, 2)
+    d["epoch_what"] = ("400 torch-Adam surface iters (extrapolated from a "
+                       "20-step slice) + 2 validation solves at the cached "
+                       "torchdiffeq-style solve rate")
+    with open(BASELINE_FILE, "w") as fh:
+        json.dump(d, fh, indent=1)
+    return epoch
 
 
 def measure_torch_cpu_baseline() -> float:
@@ -550,14 +747,30 @@ def main():
     baseline = get_baseline()
     errors = []
 
-    probe_ok, err = _probe_backend(min(120.0, max(30.0, remaining() * 0.25)))
-    if not probe_ok:
-        errors.append(err)
-        log(f"bench: {err}; retrying probe once")
-        probe_ok, err = _probe_backend(min(90.0, max(
-            30.0, remaining() - cpu_reserve)))
-        if not probe_ok:
+    # probe retries SPREAD ACROSS the budget window (VERDICT r3 next #1):
+    # each failed probe consumes its own timeout waiting on the tunnel, so
+    # the loop naturally paces retries until only the CPU-fallback reserve
+    # plus a minimum measurement window remain
+    probe_ok = False
+    n_probe = 0
+    while remaining() > cpu_reserve + 120.0:
+        tmo = min(90.0, max(30.0, remaining() - cpu_reserve - 120.0))
+        t_probe = time.monotonic()
+        probe_ok, err = _probe_backend(tmo)
+        probe_s = time.monotonic() - t_probe
+        n_probe += 1
+        if probe_ok:
+            break
+        if n_probe <= 3:
             errors.append(err)
+        log(f"bench: probe {n_probe} failed ({err}); "
+            f"{remaining():.0f}s left in budget")
+        if probe_s < 5.0:
+            # a hung tunnel paces the loop by consuming the probe timeout;
+            # a FAST failure (connection refused / import error) must not
+            # spin hot — sleep out part of the window instead
+            time.sleep(min(20.0, max(
+                1.0, remaining() - cpu_reserve - 110.0)))
 
     if probe_ok:
         tmo = max(120.0, remaining() - cpu_reserve)
@@ -591,6 +804,20 @@ def main():
                     rec.update(prec)
                 elif perr:
                     log(f"pallas popsweep metric skipped: {perr}")
+            # fourth metric: NN-f sinewave training-epoch time — the
+            # metric BASELINE.json names (400 surface-Adam iters + the
+            # 2-rollout validation solve)
+            if remaining() > 120.0:
+                prec, perr = _run_measure_subprocess(
+                    "epoch", max(100.0, remaining() - 30.0))
+                if prec is not None:
+                    eb = get_epoch_baseline()
+                    if eb and prec.get("nnf_sinewave_epoch_time"):
+                        prec["nnf_sinewave_epoch_vs_baseline"] = round(
+                            eb / prec["nnf_sinewave_epoch_time"], 1)
+                    rec.update(prec)
+                elif perr:
+                    log(f"epoch metric skipped: {perr}")
             try:
                 with open(TPU_LAST_FILE, "w") as fh:
                     json.dump({"measured_at": time.strftime(
@@ -645,6 +872,10 @@ if __name__ == "__main__":
             rec = measure_pallas_sweep()
         elif backend == "popsweep":
             rec = measure_pallas_popsweep()
+        elif backend == "epoch":
+            rec = measure_epoch()
+        elif backend == "epoch-cpu":
+            rec = measure_epoch(force_cpu=True)
         else:
             rec = measure_tpu(force_cpu=(backend == "cpu"))
         print(json.dumps(rec), flush=True)

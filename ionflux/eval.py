@@ -106,6 +106,11 @@ def simulate_family(kind: str, params, protos: list[P.Protocol],
     solve on-core — ~7x the XLA lockstep on a 64-protocol sweep (bench
     pallas_sweep_solves_per_sec).  First compile of a new shape goes
     through the remote Mosaic service (minutes, cached after).
+    Tolerance defaults match the XLA path (rtol 1e-6 / atol 1e-8).
+    Failure semantics differ: this kernel has NO per-lane death — one
+    divergent lane (or a trips-budget shortfall under a tight tolerance)
+    infs the WHOLE family.  For per-lane isolation route the family
+    through simulate_population (popsweep kernel) instead.
     """
     if backend == "pallas":
         if kind not in ("nnf", "nnd"):
@@ -119,7 +124,7 @@ def simulate_family(kind: str, params, protos: list[P.Protocol],
             params.rgate if kind == "nnf" else params.hh, b.v, ts,
             proto_t0=float(protos[0].t0), proto_dt=float(protos[0].dt),
             t_end=float(ts[-1]),
-            rtol=kw.get("rtol", 1e-5), atol=kw.get("atol", 1e-7),
+            rtol=kw.get("rtol", 1e-6), atol=kw.get("atol", 1e-8),
             trips=kw.get("trips", 4096),
             base_hh=params.hh if kind == "nnd" else None,
             interpret=kw.get("interpret", False))
@@ -189,6 +194,7 @@ def _population_currents(nets, rg, hh, b: P.Protocol, ts, c: Constants, *,
         rtol=kw.get("rtol", 1e-5), atol=kw.get("atol", 1e-7),
         trips=kw.get("trips", 4096),
         base_hh=hh,
+        cull=kw.get("cull", True),
         interpret=kw.get("interpret", False))                  # [P, Q, T, 2]
     v = jax.vmap(lambda pr: P.voltage(pr, ts))(b)              # [Q, T]
     return gate_current(ys, v[None], c)
@@ -232,6 +238,7 @@ def simulate_population_real(kind: str, pop_params, names: list[str],
                              c: Constants, *, trips: int = 6144,
                              seg_samples: int = 103_224,
                              rtol: float = 1e-5, atol: float = 1e-7,
+                             cull: bool = True,
                              interpret: bool = False,
                              chunk: int = 4096,
                              voltages: dict | None = None) -> dict:
@@ -310,7 +317,7 @@ def simulate_population_real(kind: str, pop_params, names: list[str],
     fused_nnf_popsweep_chained(
         nets, rg,
         jnp.asarray(seg_v), proto_dt=float(dt), t_end=seg * float(dt),
-        rtol=rtol, atol=atol, trips=trips, base_hh=hh,
+        rtol=rtol, atol=atol, trips=trips, base_hh=hh, cull=cull,
         interpret=interpret, consume=consume)
     # a (member, protocol) lane that died at ANY point scores inf over its
     # whole trace (the "non-finite rollouts score inf" selection rule)

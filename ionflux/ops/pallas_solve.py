@@ -773,7 +773,8 @@ def fused_nnf_pop_solve_ft(
 def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
                              dt_knot: float, t_end: float, rgate: tuple,
                              rtol: float, atol: float, trips: int, p: int,
-                             q: int, block: int, base_a: tuple = ()):
+                             q: int, block: int, base_a: tuple = (),
+                             cull: bool = True):
     p5, p6, p7, p8 = rgate
     inv_dt = 1.0 / dt_knot
     A = [[float(x) for x in row] for row in _A]
@@ -932,12 +933,12 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
         n_blocks = trips // block
 
         def blk_cond(state):
-            blk, st = state
+            blk, st, _pend = state
             return ((blk < n_blocks) & (st[0] < t_end)
                     & jnp.any(st[5] > 0.5))
 
         def blk_body(state):
-            blk, st = state
+            blk, st, pend = state
             st = jax.lax.fori_loop(0, block, lambda j, s: body(j, s), st)
             # pace-based cull: lanes too stiff to finish inside the trip
             # budget would exhaust it for EVERYONE (the shared controller
@@ -949,19 +950,30 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
             # (solver/batched.py gives up globally; solver/dopri5.py:220
             # sentinels singly).  Homogeneously stiff launches cull
             # everyone, which the single path would also fail on budget.
-            spent = ((blk + 1) * block).astype(jnp.float32)
-            frac_spent = spent / float(trips)
-            t_frac = (st[0] - t0) / (t_end - t0)
-            pace = (t_end - st[0]) / jnp.maximum(float(trips) - spent, 1.0)
-            # r floor 1e-30 (not the controller's 1e-10): a healthy lane
-            # riding far below a grinder-pinned h has r ~ (h/h_need)^5 as
-            # small as 1e-15; a higher floor would cap its implied step at
-            # 100x h and cull it alongside the grinder
-            h_lane = st[3] * jnp.exp(
-                -0.2 * jnp.log(jnp.maximum(st[10], 1e-30)))
-            cull = (frac_spent >= 0.5) & (t_frac < frac_spent - 0.3)
-            alive_new = jnp.where(cull & (h_lane < 0.3 * pace), 0.0, st[5])
-            st = st[:5] + (alive_new,) + st[6:]
+            # The shortfall must PERSIST across two consecutive blocks
+            # (pend) so a lane that is only transiently stiff at a protocol
+            # discontinuity — its instantaneous error-implied step
+            # undershooting its average pace for one block — is not
+            # falsely killed.
+            if cull:
+                spent = ((blk + 1) * block).astype(jnp.float32)
+                frac_spent = spent / float(trips)
+                t_frac = (st[0] - t0) / (t_end - t0)
+                pace = (t_end - st[0]) / jnp.maximum(
+                    float(trips) - spent, 1.0)
+                # r floor 1e-30 (not the controller's 1e-10): a healthy
+                # lane riding far below a grinder-pinned h has
+                # r ~ (h/h_need)^5 as small as 1e-15; a higher floor would
+                # cap its implied step at 100x h and cull it alongside the
+                # grinder
+                h_lane = st[3] * jnp.exp(
+                    -0.2 * jnp.log(jnp.maximum(st[10], 1e-30)))
+                behind = (frac_spent >= 0.5) & (t_frac < frac_spent - 0.3)
+                cand = (behind & (h_lane < 0.3 * pace)).astype(jnp.float32)
+                alive_new = jnp.where((cand > 0.5) & (pend > 0.5), 0.0,
+                                      st[5])
+                st = st[:5] + (alive_new,) + st[6:]
+                pend = cand
             base = blk * block
             c0 = pltpu.make_async_copy(
                 vm_sc, rec_sc.at[pl.ds(base, block)], sems.at[0])
@@ -975,10 +987,11 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
             c0.wait()
             c1.wait()
             c2.wait()
-            return blk + 1, st
+            return blk + 1, st, pend
 
-        _blk, (t, y, f, h, n_acc, alive, *_r) = jax.lax.while_loop(
-            blk_cond, blk_body, (jnp.int32(0), init))
+        _blk, (t, y, f, h, n_acc, alive, *_r), _pend = jax.lax.while_loop(
+            blk_cond, blk_body,
+            (jnp.int32(0), init, jnp.zeros((p, q), jnp.float32)))
         ok = t >= t_end
         n_out_ref[0, 0] = jnp.where(ok, n_acc, -jnp.maximum(n_acc, 1))
         n_out_ref[0, 1] = _blk * block
@@ -1003,6 +1016,7 @@ def fused_nnf_popsweep_solve_ft(
     base_hh: HHParams | None = None,
     y0: jnp.ndarray | None = None,
     return_records: bool = False,
+    cull: bool = True,
     interpret: bool = False,
 ):
     """Fixed-trip fused solve for P member nets x Q protocols concurrently
@@ -1065,7 +1079,8 @@ def fused_nnf_popsweep_solve_ft(
         float(rtol), float(atol), int(trips), p, q, block,
         base_a=(tuple(float(x) for x in
                       (base_hh.p1, base_hh.p2, base_hh.p3, base_hh.p4))
-                if base_hh is not None else ()))
+                if base_hh is not None else ()),
+        cull=cull)
 
     rec_sc, rec_y, rec_k, n_acc, m_pack = pl.pallas_call(
         kernel,
@@ -1160,6 +1175,7 @@ def fused_nnf_popsweep_chained(
     trips: int = 6144,
     base_hh: HHParams | None = None,
     y0: jnp.ndarray | None = None,
+    cull: bool = True,
     interpret: bool = False,
     consume=None,
     ts: jnp.ndarray | None = None,
@@ -1190,7 +1206,7 @@ def fused_nnf_popsweep_chained(
             nets, rgate, seg_v[b], jnp.asarray([t_end], jnp.float32),
             proto_dt=proto_dt, t_end=t_end, rtol=rtol, atol=atol,
             trips=trips, base_hh=base_hh, y0=y0, return_records=True,
-            interpret=interpret)
+            cull=cull, interpret=interpret)
         y0 = recs.final_state(t_end)
         if consume is not None:
             consume(b, recs)

@@ -181,9 +181,16 @@ def odeint_batched_chunked(
 
     Lane-carrying leaves of ``args`` are auto-detected as arrays whose
     leading dimension equals B (override with ``lane_leaf``, a predicate
-    leaf -> bool).  Shared leaves are passed to every chunk unchanged.
+    leaf -> bool).  ``Protocol`` subtrees are ALWAYS treated as shared —
+    a protocol is never per-lane in this codebase, and a knot array whose
+    length coincidentally equals the population size must not be silently
+    split into per-chunk slices.  For any other shared leaf whose leading
+    dim happens to equal B, pass an explicit ``lane_leaf``.
+    Shared leaves are passed to every chunk unchanged.
     fn sees chunk-shaped inputs: (t, y [max_lanes, S], chunk_args).
     """
+    from ionflux.protocols import Protocol
+
     b = y0.shape[0]
     if b <= max_lanes:
         return odeint_batched(fn, y0, ts, args, **kw)
@@ -191,6 +198,16 @@ def odeint_batched_chunked(
         def lane_leaf(x):
             return (hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1
                     and x.shape[0] == b)
+
+    def _is_proto(x):
+        return isinstance(x, Protocol)
+
+    def tmap(f, tree, *rest):
+        # Protocol subtrees ride as opaque shared leaves
+        return jax.tree.map(
+            lambda x, *r: x if _is_proto(x) else f(x, *r), tree, *rest,
+            is_leaf=_is_proto)
+
     n_chunks = -(-b // max_lanes)
     pad = n_chunks * max_lanes - b
 
@@ -204,7 +221,7 @@ def odeint_batched_chunked(
         order = jnp.argsort(stiff)
         inv = jnp.argsort(order)
         y0 = y0[order]
-        args = jax.tree.map(
+        args = tmap(
             lambda x: jnp.asarray(x)[order] if lane_leaf(x) else x, args)
 
     def split(x):
@@ -215,8 +232,8 @@ def odeint_batched_chunked(
             x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
         return x.reshape((n_chunks, max_lanes) + x.shape[1:])
 
-    is_lane = jax.tree.map(lambda x: bool(lane_leaf(x)), args)
-    chunked_args = jax.tree.map(split, args)
+    is_lane = tmap(lambda x: bool(lane_leaf(x)), args)
+    chunked_args = tmap(split, args)
     y0c = split(y0)
 
     def one(chunk):
@@ -225,7 +242,7 @@ def odeint_batched_chunked(
 
     # rebuild per-chunk args by selecting the chunk slice of lane leaves
     def gather_args(k):
-        return jax.tree.map(
+        return tmap(
             lambda x, lane: x[k] if lane else x, chunked_args, is_lane)
 
     return_stats = kw.get("return_stats", False)

@@ -203,9 +203,13 @@ def odeint(
         if error_weight is None:
             ratio = _rms(err / scale)
         else:
+            # guard the all-zero weight vector: 0/0 would yield a NaN
+            # ratio that reads as non-finite and permanently rejects
+            # every step until max_steps exhausts
+            wsum = jnp.maximum(jnp.sum(error_weight),
+                               jnp.asarray(jnp.finfo(dtype).tiny, dtype))
             ratio = jnp.sqrt(
-                jnp.sum(error_weight * jnp.square(err / scale))
-                / jnp.sum(error_weight))
+                jnp.sum(error_weight * jnp.square(err / scale)) / wsum)
         finite = jnp.all(jnp.isfinite(y1)) & jnp.isfinite(ratio)
         accept = (ratio <= 1.0) & finite
 

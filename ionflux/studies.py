@@ -293,6 +293,17 @@ def predict_study(spec: SyntheticStudy, params):
 _GT_ROLLOUTS: dict = {}
 
 
+def _gt_key(spec, *rest):
+    """Cache key for a ground-truth rollout: keyed on the gt parameter
+    VALUES as well as the kind, so two specs sharing gt_kind but carrying
+    different parameters (a tuned/custom study) never hit each other's
+    cached targets."""
+    digest = tuple(float(x) for x in
+                   np.concatenate([np.asarray(lf, np.float64).reshape(-1)
+                                   for lf in jax.tree.leaves(spec.gt)]))
+    return (spec.gt_kind, digest) + rest
+
+
 def _sim_real_table(kind: str, params, name: str):
     """Current on a reconstructed real table-1 protocol (TABLE1 constants)."""
     from ionflux import protorec
@@ -323,7 +334,7 @@ def _table_targets(spec: SyntheticStudy, noisy: bool) -> list:
 
     refdir = "/root/reference"
     for i, (label, n, yc) in enumerate(_TABLE_COLS):
-        key = (spec.gt_kind, n, noisy)
+        key = _gt_key(spec, n, noisy)
         if key in _GT_ROLLOUTS:
             continue
         if not noisy:
@@ -363,7 +374,7 @@ def table_rollout_maes(spec: SyntheticStudy, params,
     sl4 = slice(n4, 4 * n4)
     for label, n, _yc in cols:
         pred = _sim_real_table(spec.model_kind, params, n)
-        data = _GT_ROLLOUTS[(spec.gt_kind, n, noisy)]
+        data = _GT_ROLLOUTS[_gt_key(spec, n, noisy)]
         sl = sl4 if label == "pr4" else slice(None)
         out[label] = float(np.mean(np.abs(pred[sl] - data[sl])))
     score = sum(out.values())
@@ -411,7 +422,7 @@ def table_rollout_maes_pop(spec: SyntheticStudy, params_list,
         cur = simulate_population_real(spec.model_kind, sub, names, TABLE1,
                                        rtol=1e-6, atol=1e-8, trips=trips)
         for j, (label, n, _yc) in enumerate(cols):
-            data = _GT_ROLLOUTS[(spec.gt_kind, n, noisy)]
+            data = _GT_ROLLOUTS[_gt_key(spec, n, noisy)]
             sl = sl4 if label == "pr4" else slice(None)
             maes[i0:i0 + batch, j] = np.mean(
                 np.abs(cur[n][:, sl] - data[None, sl]), axis=1)
@@ -446,7 +457,7 @@ def s_rollout_maes(spec: SyntheticStudy, params) -> dict:
     ]
     out = {}
     for label, proto, ts in rows:
-        key = (spec.gt_kind, label, "s")
+        key = _gt_key(spec, label, "s")
         if key not in _GT_ROLLOUTS:
             _GT_ROLLOUTS[key] = np.asarray(
                 simulate(spec.gt_kind, spec.gt, proto, ts, SYNTHETIC, **kw),
@@ -462,7 +473,7 @@ def s_rollout_maes(spec: SyntheticStudy, params) -> dict:
     for label, protos, ts in fams:
         maes = []
         for k, pr in enumerate(protos):
-            key = (spec.gt_kind, label, k, "s")
+            key = _gt_key(spec, label, k, "s")
             if key not in _GT_ROLLOUTS:
                 _GT_ROLLOUTS[key] = np.asarray(
                     simulate(spec.gt_kind, spec.gt, pr, ts, SYNTHETIC),

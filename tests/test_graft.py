@@ -57,6 +57,34 @@ def test_bench_dry_schema():
     assert isinstance(rec["vs_baseline"], (int, float))
 
 
+def test_bench_probe_timeout_emits_cpu_fallback_with_last_tpu():
+    # the EXACT round-3 failure mode (VERDICT r3 next #9): every backend
+    # probe times out against a hung tunnel -> bench must fall back to the
+    # CPU backend and the emitted JSON must carry backend="cpu-fallback",
+    # the probe error, AND the carried last_tpu block so the round keeps
+    # its most recent on-chip datum.  The probe and the measurement
+    # subprocesses are stubbed (a real hung-tunnel probe consumes 45+ min);
+    # the contract under test is main()'s retry/fallback/emit logic.
+    code = (
+        "import bench;"
+        "bench._probe_backend = lambda t: "
+        "(False, 'backend probe timed out after %.0fs' % t);"
+        "bench._run_measure_subprocess = lambda b, t: "
+        "(({'solves_per_sec': 2.0, 'batch': 32, 'scaling': []}, None)"
+        " if b == 'cpu' else (None, 'tpu must not be measured: ' + b));"
+        "bench.main()"
+    )
+    out = _run([sys.executable, "-c", code], timeout=120,
+               extra_env={"IONFLUX_BENCH_BUDGET": "290"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["backend"] == "cpu-fallback"
+    assert rec["value"] == 2.0
+    assert "timed out" in rec["error"]
+    # BENCH_TPU_LAST.json ships in the repo, so the carry must be attached
+    assert rec["last_tpu"] and "solves_per_sec" in rec["last_tpu"]
+
+
 def test_bench_emits_json_on_total_failure():
     # resilience contract (VERDICT r1 weak #1): even when every measurement
     # attempt fails, bench.main() must still print one JSON line with an
