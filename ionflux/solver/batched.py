@@ -35,7 +35,8 @@ from ionflux.solver.dopri5 import (
 
 
 @partial(jax.jit, static_argnums=(0,),
-         static_argnames=("max_steps", "buffer_size", "return_stats"))
+         static_argnames=("max_steps", "buffer_size", "return_stats",
+                          "sleep_tol"))
 def odeint_batched(
     fn: Callable,
     y0: jnp.ndarray,               # [B, S]
@@ -47,6 +48,8 @@ def odeint_batched(
     max_steps: int = 100_000,
     buffer_size: int = 4096,
     return_stats: bool = False,
+    sleep_tol: float | None = None,
+    sleep_h_max: float | None = None,
 ):
     """Integrate dy/dt = fn(t, y, args) for B systems in lockstep.
 
@@ -57,6 +60,27 @@ def odeint_batched(
     remaining lanes keep their accuracy (reference per-member sentinel:
     train-d0.py:427-438; one bad CMA-ES member must not erase the
     generation's ranking information).
+
+    sleep_tol (opt-in) enables PER-COMPONENT EARLY-EXIT, the lockstep
+    answer to the reference's per-solve independence (each odeint its own
+    loop, train-d0.py:427-439): a state component that has SETTLED — its
+    worst-case remaining drift |f|*(t_end - t), or for a contracting
+    (stiff) component its implied distance to equilibrium |f|/|df/dy|,
+    inside sleep_tol * (atol + rtol|y|) — FREEZES: it is treated as a
+    constant in the vector field (its stage derivatives masked to zero)
+    and so leaves the shared error controller.  A settled stiff gate stops pinning
+    everyone's step size: an RK45 component at a stiff equilibrium still
+    step-limits through its stability bound; freezing it lets h grow to
+    the remaining dynamics' accuracy limit.  Every accepted step re-probes
+    the full RHS at the new states, so a frozen component WAKES the moment
+    the forcing moves its equilibrium (voltage step/sweep) and resumes
+    from its frozen value; the probe costs one extra batched RHS eval per
+    step (the FSAL reuse is given up), so sleeping pays off when settled
+    phases dominate — heterogeneous populations on long step protocols.
+    sleep_h_max bounds h while anything sleeps (with everything asleep
+    nothing constrains h, and a step across an upcoming protocol edge
+    would wake the components one step late).  sleep_tol ~ 0.1 keeps the
+    frozen drift well inside tolerance.
     """
     rhs = lambda t, y: fn(t, y, args)  # noqa: E731
     dtype = y0.dtype
@@ -67,6 +91,8 @@ def odeint_batched(
     p_dense = jnp.asarray(_P_DENSE, dtype)
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
     h_min = jnp.maximum(t_end - t0, 1.0) * jnp.asarray(1e-12, dtype)
+    h_cap = jnp.asarray(sleep_h_max if sleep_h_max is not None
+                        else jnp.finfo(dtype).max, dtype)
     nbuf = buffer_size
 
     f0 = rhs(t0, y0)
@@ -82,15 +108,52 @@ def odeint_batched(
     lane_ok0 = jnp.all(jnp.isfinite(y0), axis=-1) & jnp.all(
         jnp.isfinite(f0), axis=-1)
 
+    def _settled(t, y, f, lam):
+        """Component safe to freeze: EITHER its worst-case linear drift
+        over the whole remaining span |f|*(t_end - t) is inside
+        sleep_tol * tol (slow/neutral components), OR it is CONTRACTING
+        with rate lam ~ |df/dy| and its implied distance to the moving
+        equilibrium |f|/lam is inside sleep_tol * tol (stiff components —
+        the ones whose stability bound pins the shared step; a settled
+        stiff gate hovers at |f| ~ lam * local-error, far above any
+        span-based bound, which is why a drift-only criterion never fires
+        for exactly the lanes worth freezing).  [B, S]."""
+        span = jnp.maximum(t_end - t, h_min)
+        scale = atol + rtol * jnp.abs(y)
+        return jnp.abs(f) <= sleep_tol * scale * jnp.maximum(lam, 1.0 / span)
+
     def cond(state):
         return state[6]
 
     def body(state):
-        t, y, f, h, n_acc, n_step, alive, lane_ok, bt, bh, by, bk = state
-        h_eff = jnp.maximum(jnp.minimum(h, t_end - t), h_min)
+        (t, y, f, h, n_acc, n_step, alive, lane_ok, frozen, lam,
+         bt, bh, by, bk) = state
+        h_lim = jnp.where(jnp.any(frozen), h_cap, big)
+        h_eff = jnp.maximum(
+            jnp.minimum(jnp.minimum(h, h_lim), t_end - t), h_min)
 
-        y1, f1, k, err = _rk_step(rhs, t, y, f, h_eff, tab)
+        if sleep_tol is not None:
+            # frozen components are constants in the vector field: masking
+            # their stage derivatives to zero keeps them at y through every
+            # stage (so coupled RHS terms see the frozen VALUE, never a
+            # garbage extrapolation), zeroes their error contribution, and
+            # makes the stored dense-output k rows interpolate them flat
+            rhs_step = lambda tt, yy: jnp.where(  # noqa: E731
+                frozen, 0.0, rhs(tt, yy))
+        else:
+            rhs_step = rhs
+        y1, f1, k, err = _rk_step(rhs_step, t, y, f, h_eff, tab)
         scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
+        if sleep_tol is not None:
+            # wake probe at the CANDIDATE end state, BEFORE acceptance:
+            # frozen components are charged a first-order drift error
+            # |f_probe|*h, so a step that crosses a forcing change (the
+            # probe sees the frozen component's equilibrium move) is
+            # REJECTED and retried smaller rather than slept through —
+            # frozen components keep first-order error control while the
+            # active ones keep fifth-order
+            f_probe = rhs(t + h_eff, y1)
+            err = err + jnp.where(frozen, f_probe * h_eff, 0.0)
         ratio_l = jnp.sqrt(jnp.mean((err / scale) ** 2, axis=-1))   # [B]
         lane_fin = jnp.all(jnp.isfinite(y1), axis=-1) & jnp.isfinite(ratio_l)
         # shared accept on the worst LIVE lane; dead lanes never block
@@ -113,7 +176,25 @@ def odeint_batched(
         adv = accept & lane_ok2                              # [B]
         t_new = jnp.where(accept, t + h_eff, t)
         y_new = jnp.where(adv[:, None], y1, y)
-        f_new = jnp.where(adv[:, None], f1, f)
+        if sleep_tol is not None:
+            # on accept the probe IS the new state's full RHS (y_new == y1
+            # for advanced lanes, frozen components held at y); settle /
+            # wake both flow from it.  Per-component contraction-rate
+            # estimate lam ~ |df/dy| from the step just taken (active
+            # components only; a tiny dy means no information — keep the
+            # old estimate, which errs toward NOT freezing)
+            dy = jnp.abs(y1 - y)
+            df = jnp.abs(f_probe - jnp.where(frozen, f_probe, f))
+            upd = adv[:, None] & ~frozen & (dy > 1e-3 * scale)
+            lam2 = jnp.where(upd, df / jnp.maximum(dy, 1e-30), lam)
+            frozen2 = jnp.where(accept,
+                                _settled(t_new, y_new, f_probe, lam2)
+                                & jnp.isfinite(f_probe), frozen)
+            f_new = jnp.where(accept, jnp.where(frozen2, 0.0, f_probe), f)
+        else:
+            f_new = jnp.where(adv[:, None], f1, f)
+            frozen2 = frozen
+            lam2 = lam
         n_acc2 = n_acc + accept.astype(jnp.int32)
         factor = SAFETY * jnp.power(jnp.maximum(ratio, 1e-10), -0.2)
         # non-finite live lane: shrink hard (rescues transient overflow;
@@ -127,12 +208,19 @@ def odeint_batched(
         dead = (~jnp.any(lane_ok2)
                 | (n2 >= max_steps) | (n_acc2 >= nbuf))
         return (t_new, y_new, f_new, h_new, n_acc2, n2,
-                alive & ~done & ~dead, lane_ok2, bt, bh, by, bk)
+                alive & ~done & ~dead, lane_ok2, frozen2, lam2,
+                bt, bh, by, bk)
 
+    lam0 = jnp.zeros((b, s), dtype)
+    if sleep_tol is not None:
+        frozen0 = _settled(t0, y0, f0, lam0) & lane_ok0[:, None]
+        f0 = jnp.where(frozen0, 0.0, f0)
+    else:
+        frozen0 = jnp.zeros((b, s), bool)
     init = (t0, y0, f0, h0, jnp.int32(0), jnp.int32(0), jnp.bool_(True),
-            lane_ok0, buf_t, buf_h, buf_y, buf_k)
-    (t, y, f, h, n_acc, n_step, _a, lane_ok, bt, bh, by, bk) = (
-        jax.lax.while_loop(cond, body, init))
+            lane_ok0, frozen0, lam0, buf_t, buf_h, buf_y, buf_k)
+    (t, y, f, h, n_acc, n_step, _a, lane_ok, _frozen, _lam,
+     bt, bh, by, bk) = jax.lax.while_loop(cond, body, init)
     ok = (lane_ok & (t >= t_end) & jnp.all(jnp.isfinite(y), axis=-1)
           & (n_acc > 0))                                     # [B]
 

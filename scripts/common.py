@@ -66,6 +66,14 @@ def setup(args, default_outdir: str) -> str:
 
         _eval.DEFAULT_METHOD = args.method
         print(f"solver method: {args.method}")
+    if getattr(args, "adjoint", False):
+        # accepted for reference-CLI parity but NOT silently: like the
+        # reference (train-s1.py:29-32 wires odeint_adjoint, yet the loss
+        # is surface regression), study training never differentiates
+        # through a solve, so the flag cannot change any result here
+        print("--adjoint ignored: study training never differentiates "
+              "through a solve (reference parity, train-s1.py:29-32); "
+              "scripts/train_neural_ode.py demonstrates the adjoint path")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cache = os.path.join(repo, ".jax_cache")
     os.makedirs(cache, exist_ok=True)

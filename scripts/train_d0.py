@@ -35,8 +35,11 @@ from common import setup, study_parser  # noqa: E402
 
 parser = study_parser("IKr syn. discrepancy fit with HH candidate (d0).")
 parser.add_argument("--myokit", action="store_true",
-                    help="accepted for reference-CLI parity; the jitted TPU "
-                         "solver IS the fast path here")
+                    help="route the CMA-ES objective through the native C++ "
+                         "host solver (ionflux.native.csolve) — the rebuild "
+                         "of the reference's Myokit/CVODE fast path "
+                         "(train-d0.py:128-297); per-member serial like the "
+                         "reference, so slower than the batched TPU path")
 args = parser.parse_args()
 OUT = setup(args, "d0")
 
@@ -178,11 +181,59 @@ def make_objective(d3: np.ndarray, d5: np.ndarray, pop: int):
     return objective
 
 
+def make_objective_native(d3: np.ndarray, d5: np.ndarray):
+    """--myokit path: the same whole-trace SSE objective evaluated through
+    the native C++ host solver (ionflux.native.csolve — the rebuild of the
+    reference's Myokit/CVODE backend, train-d0.py:128-297, incl. its
+    watchdog -> inf-sentinel semantics).  Per-member serial, exactly like
+    the reference's per-call CVODE simulate (train-d0.py:266-297)."""
+    from ionflux.native import csolve
+
+    blocks = []
+    for name, d in (("pr3-cell5", d3), ("pr5-cell5", d5)):
+        _protos, _ts, n_sweeps, period = _sweep_protos(name)
+        v, dt = protorec.load_voltage(name)
+        vs = np.empty((n_sweeps, period + 1), np.float64)
+        vs[:, :period] = v.reshape(n_sweeps, period)
+        vs[:-1, period] = vs[1:, 0]
+        vs[-1, period] = vs[-1, period - 1]
+        ts = np.arange(period + 1, dtype=np.float64) * float(dt)
+        blocks.append((vs, ts, float(dt), np.asarray(d, np.float64)))
+
+    e_rev = float(SYNTHETIC.e)
+
+    def one(x: np.ndarray) -> float:
+        params = np.concatenate([x, np.asarray(RGATE, np.float64)])
+        acc = 0.0
+        for vs, ts, dt, d in blocks:
+            y0 = np.array([0.0, 1.0])
+            rows = []
+            for k in range(vs.shape[0]):
+                ys = csolve("hh", params, 0.0, dt, vs[k], ts, y0=y0,
+                            rtol=1e-5, atol=1e-7, timeout_s=60.0)
+                if not np.all(np.isfinite(ys)):
+                    return float("inf")
+                rows.append(ys[:-1, 0] * ys[:-1, 1] * (vs[k][:-1] - e_rev))
+                y0 = ys[-1]
+            i_flat = np.concatenate(rows)[::SUB]
+            acc += float(np.sum((i_flat - d) ** 2))
+        return acc
+
+    def objective(xs: np.ndarray) -> np.ndarray:
+        return np.array([one(x) for x in np.asarray(xs, np.float64)])
+
+    return objective
+
+
 def main():
     d3, d5 = generate_data()
 
     pop = 4 + int(3 * np.log(len(P0)))  # CMA-ES default population
-    objective = make_objective(d3, d5, pop)
+    if args.myokit:
+        print("--myokit: objective through the native C++ host solver")
+        objective = make_objective_native(d3, d5)
+    else:
+        objective = make_objective(d3, d5, pop)
     f0 = objective(P0[None])[0]
     print("Initial guess error:", f0)
 

@@ -37,8 +37,11 @@ from common import setup, study_parser  # noqa: E402
 
 parser = study_parser("IKr real-data candidate fit (r0-bad).", real=True)
 parser.add_argument("--myokit", action="store_true",
-                    help="accepted for reference-CLI parity; the jitted TPU "
-                         "solver IS the fast path here")
+                    help="route the CMA-ES objective through the native C++ "
+                         "host solver (ionflux.native.csolve) — the rebuild "
+                         "of the reference's Myokit/CVODE fast path "
+                         "(train-r0-bad.py:70-241); per-member serial like "
+                         "the reference, so slower than the batched path")
 args = parser.parse_args()
 OUT = setup(args, "r0-bad")
 
@@ -145,6 +148,51 @@ def make_objective(meas: dict, pop: int):
     return objective
 
 
+def make_objective_native(meas: dict):
+    """--myokit path: the same masked-lattice SSE objective through the
+    native C++ host solver (ionflux.native.csolve — the rebuild of the
+    reference's Myokit/CVODE backend, train-r0-bad.py:70-241, incl. the
+    watchdog -> inf sentinel).  Per-member serial like the reference."""
+    from ionflux.native import csolve
+
+    blocks = []
+    for name in ("pr3", "pr4"):
+        n_sweeps, period = protorec.SWEEPS[f"{name}-cell5"]
+        v, dt = protorec.load_voltage(f"{name}-cell5")
+        vs = np.empty((n_sweeps, period + 1), np.float64)
+        vs[:, :period] = v.reshape(n_sweeps, period)
+        vs[:-1, period] = vs[1:, 0]
+        vs[-1, period] = vs[-1, period - 1]
+        ts = np.arange(period + 1, dtype=np.float64) * float(dt)
+        tl, i_meas = meas[name]
+        idx = np.round(np.asarray(tl) / protorec.DT_MS).astype(np.int64)
+        blocks.append((vs, ts, float(dt), np.asarray(v, np.float64), idx,
+                       np.asarray(i_meas, np.float64)))
+
+    def one(x: np.ndarray) -> float:
+        params = np.concatenate([x, np.asarray(RGATE, np.float64)])
+        acc = 0.0
+        for vs, ts, dt, v_full, idx, d in blocks:
+            y0 = np.array([0.0, 1.0])
+            rows = []
+            for k in range(vs.shape[0]):
+                ys = csolve("hh", params, 0.0, dt, vs[k], ts, y0=y0,
+                            rtol=1e-5, atol=1e-7, timeout_s=60.0)
+                if not np.all(np.isfinite(ys)):
+                    return float("inf")
+                rows.append(ys[:-1])
+                y0 = ys[-1]
+            yflat = np.concatenate(rows, axis=0)
+            i_sim = G * yflat[:, 0] * yflat[:, 1] * (v_full - E)
+            acc += float(np.sum((i_sim[idx] - d) ** 2))
+        return acc
+
+    def objective(xs: np.ndarray) -> np.ndarray:
+        return np.array([one(x) for x in np.asarray(xs, np.float64)])
+
+    return objective
+
+
 def _simulate_fit(x: np.ndarray, name: str) -> np.ndarray:
     """Full-trace current for one parameter vector on one protocol."""
     protos, ts, n_sweeps, period = _sweep_protos(f"{name}-cell5")
@@ -169,7 +217,11 @@ def main():
                                 HH_R1BAD_INIT, protocols=("pr3", "pr4"),
                                 n_points=30)
     pop = 4 + int(3 * np.log(len(P0)))  # CMA-ES default population
-    objective = make_objective(meas, pop)
+    if args.myokit:
+        print("--myokit: objective through the native C++ host solver")
+        objective = make_objective_native(meas)
+    else:
+        objective = make_objective(meas, pop)
     f0 = objective(P0[None])[0]
     print("Initial guess error:", f0)
 

@@ -297,6 +297,94 @@ def test_chunked_sort_lanes_restores_order_and_reduces_steps():
         int(st_sorted.n_steps), int(st_plain.n_steps))
 
 
+def test_sleep_tol_per_lane_early_exit():
+    """sleep_tol per-lane early-exit (VERDICT r3 next #6, the ROADMAP
+    'residual lever'): on the interleaved 100x-stiffness population the
+    settled stiff lanes must stop pinning the shared step size — measured
+    as a strict step-attempt reduction vs the always-awake controller,
+    BEYOND what sort_lanes chunk-grouping gives — while every lane stays
+    within solve accuracy of the reference."""
+    from ionflux.solver import odeint_batched, odeint_batched_chunked
+
+    proto = P.activation_protocol(20.0, dt_ms=1.0)
+    ts = jnp.linspace(0.0, 1000.0, 21, dtype=jnp.float32)
+    b = 8
+    rows = []
+    for i in range(b):
+        f = 100.0 if i % 2 else 1.0
+        rows.append([HH_B06.p1, HH_B06.p2, HH_B06.p3, HH_B06.p4,
+                     HH_B06.p5 * f, HH_B06.p6, HH_B06.p7 * f, HH_B06.p8])
+    pops = jnp.asarray(np.array(rows, np.float32))
+
+    def rhs_b(t, y, args):
+        ps, pr = args
+        v = P.voltage(pr, t)
+        k1 = ps[:, 0] * jnp.exp(ps[:, 1] * v)
+        k2 = ps[:, 2] * jnp.exp(-ps[:, 3] * v)
+        k3 = ps[:, 4] * jnp.exp(ps[:, 5] * v)
+        k4 = ps[:, 6] * jnp.exp(-ps[:, 7] * v)
+        dadt = k1 * (1 - y[:, 0]) - k2 * y[:, 0]
+        drdt = -k3 * y[:, 1] + k4 * (1 - y[:, 1])
+        return jnp.stack([dadt, drdt], axis=-1)
+
+    y0b = jnp.tile(jnp.array([0.0, 1.0], jnp.float32), (b, 1))
+    kw = dict(rtol=1e-5, atol=1e-7, return_stats=True)
+    ref, st_ref = odeint_batched(rhs_b, y0b, ts, (pops, proto), **kw)
+    got, st_slp = odeint_batched(rhs_b, y0b, ts, (pops, proto),
+                                 sleep_tol=0.5, sleep_h_max=100.0, **kw)
+    assert bool(jnp.all(st_ref.ok)) and bool(jnp.all(st_slp.ok))
+    assert float(jnp.max(jnp.abs(got - ref))) < 2e-3
+    assert int(st_slp.n_steps) < int(st_ref.n_steps), (
+        int(st_slp.n_steps), int(st_ref.n_steps))
+    # beyond sort_lanes: sleeping inside sorted chunks still wins
+    _, st_sorted = odeint_batched_chunked(rhs_b, y0b, ts, (pops, proto),
+                                          max_lanes=4, sort_lanes=True, **kw)
+    _, st_both = odeint_batched_chunked(rhs_b, y0b, ts, (pops, proto),
+                                        max_lanes=4, sort_lanes=True,
+                                        sleep_tol=0.5, sleep_h_max=100.0,
+                                        **kw)
+    assert int(st_both.n_steps) < int(st_sorted.n_steps), (
+        int(st_both.n_steps), int(st_sorted.n_steps))
+
+
+def test_sleep_tol_wakes_at_protocol_step():
+    """A sleeping lane must WAKE when the forcing moves its equilibrium:
+    integrate across a late voltage step and require the post-step
+    transient to match the always-awake solve."""
+    from ionflux.solver import odeint_batched
+
+    # two-step protocol: hold at -80 until t=500, step to +20
+    v = np.full(2001, -80.0, np.float32)
+    v[500:] = 20.0
+    proto = P.Protocol(jnp.float32(0.0), jnp.float32(1.0), jnp.asarray(v))
+    ts = jnp.linspace(0.0, 1000.0, 41, dtype=jnp.float32)
+    b = 4
+    pops = jnp.stack([
+        jnp.array([float(x) for x in HH_B06], jnp.float32)
+        for _ in range(b)])
+
+    def rhs_b(t, y, args):
+        ps, pr = args
+        vv = P.voltage(pr, t)
+        k1 = ps[:, 0] * jnp.exp(ps[:, 1] * vv)
+        k2 = ps[:, 2] * jnp.exp(-ps[:, 3] * vv)
+        k3 = ps[:, 4] * jnp.exp(ps[:, 5] * vv)
+        k4 = ps[:, 6] * jnp.exp(-ps[:, 7] * vv)
+        dadt = k1 * (1 - y[:, 0]) - k2 * y[:, 0]
+        drdt = -k3 * y[:, 1] + k4 * (1 - y[:, 1])
+        return jnp.stack([dadt, drdt], axis=-1)
+
+    y0b = jnp.tile(jnp.array([0.0, 1.0], jnp.float32), (b, 1))
+    kw = dict(rtol=1e-5, atol=1e-7, return_stats=True)
+    ref, st_ref = odeint_batched(rhs_b, y0b, ts, (pops, proto), **kw)
+    got, st_slp = odeint_batched(rhs_b, y0b, ts, (pops, proto),
+                                 sleep_tol=0.5, sleep_h_max=25.0, **kw)
+    assert bool(jnp.all(st_ref.ok)) and bool(jnp.all(st_slp.ok))
+    # the +20 mV activation transient (t>500) must be resolved, not slept
+    # through
+    assert float(jnp.max(jnp.abs(got - ref))) < 2e-3
+
+
 def test_vcabm_exponential_decay():
     from ionflux.solver import odeint_vcabm
 
