@@ -23,9 +23,15 @@ from scipy.interpolate import UnivariateSpline
 
 from ionflux import protocols as P
 from ionflux.models.registry import Constants, HHParams
-from ionflux.ops.expfit import X02_TRI, X0_BI, eval_exp, fit_exp, is_within
+from ionflux.ops.expfit import (X02_TRI, X0_BI, X0_TRI, eval_exp, fit_exp,
+                                fit_exp_ls, is_within)
 from ionflux.ops.smoothing import smooth_same_np
 from ionflux.surface import invert_observation, solve_r_gate, spline_didt, SurfaceConfig
+
+# Pr5's flat holding tails are bi-exp segments; the -90 mV segment needs
+# CMA-ES (train-r1.py:633, 554/640)
+PR5_BI_TIMES = (2000, 12000, 22000, 33000, 43000, 53000, 64000, 74000, 84000)
+PR5_CMA_VOLTAGES = (-90.0,)
 
 
 def load_recording(path: str):
@@ -46,6 +52,9 @@ class RealSurfaceConfig:
     spline_s: float = 0.2     # (:499)
     sine_window: int = 21     # sinewave-window smoothing (:566)
     sine_spline_k: int = 5    # sinewave-window spline order (:567)
+    # tri-exp initial guess: the reference uses x0 for Pr3 segments and x02
+    # for Pr4/sinewave/Pr5 (train-r1.py:490 vs :545/634); None -> X02_TRI
+    tri_x0: tuple | None = None
 
 
 def _recording_protocol(t: np.ndarray, v: np.ndarray) -> P.Protocol:
@@ -128,7 +137,9 @@ def real_surface_smoothi(t, i, v, rgate: HHParams, c: Constants,
                 vals = eval_exp("bi", t[full] - tfit[0], x)
             else:
                 use_cma = any(abs(seg_v - cv) < 0.5 for cv in cma_voltages)
-                x = fit_exp(tl, afit_raw, "tri", X02_TRI, use_cma=use_cma)
+                tri_x0 = (np.asarray(cfg.tri_x0) if cfg.tri_x0 is not None
+                          else X02_TRI)
+                x = fit_exp(tl, afit_raw, "tri", tri_x0, use_cma=use_cma)
                 vals = eval_exp("tri", t[full] - tfit[0], x)
             ao[full], dadto[full], d2o[full] = vals
         else:
@@ -148,8 +159,137 @@ def real_surface_smoothi(t, i, v, rgate: HHParams, c: Constants,
 
 
 # ---------------------------------------------------------------------------
+# smoothi cache-refit parity
+# ---------------------------------------------------------------------------
+
+def smoothi_refit_cache(surface_dir: str, protocols=("pr3", "pr5"),
+                        n_min: int = 12, max_fit_points: int = 2000,
+                        seed: int = 0, n_points_cap: int = 70,
+                        max_segments: int | None = None):
+    """Re-run the --smoothi segment-fit dispatch on the retained-sample
+    lattice of a reference surface cache and compare against the cache.
+
+    The archived r-study surfaces (r1/r2/r1-bad {a,dadt,d2adt2}.pt) were
+    produced WITH --smoothi (d2adt2.pt exists only on that branch,
+    train-r1.py:809-811), so the cached gate a is the reference's per-segment
+    tri/bi-exp or smoothing-spline fit and dadt/d2adt2 are its analytic/
+    spline derivatives.  Re-fitting OUR segment dispatch (same std cutoffs,
+    bi-exp windows and initial guesses; exp optimiser upgraded to the
+    grid-seeded varpro + LM pipeline, ops/expfit.fit_exp_ls) to the cached a
+    must therefore reproduce dadt/d2adt2 — a genuine end-to-end parity check
+    of the C14 exp-fit machinery against real-lineage surfaces, no raw CSVs
+    required.
+
+    Exp segments fit on at most max_fit_points samples (strided) for speed;
+    evaluation is at every retained sample.  Returns
+    {protocol: {t, v, a, dadt, d2, a_ref, dadt_ref, d2_ref, branch}} with
+    branch one of 'tri'/'bi'/'spline' per retained sample ('' = skipped
+    degenerate segment).
+    """
+    from ionflux import protorec
+    from ionflux.utils.ptload import pt_load
+
+    v = np.asarray(pt_load(f"{surface_dir}/v.pt"), np.float64)
+    a = np.asarray(pt_load(f"{surface_dir}/a.pt"), np.float64)
+    dadt = np.asarray(pt_load(f"{surface_dir}/dadt.pt"), np.float64)
+    d2 = np.asarray(pt_load(f"{surface_dir}/d2adt2.pt"), np.float64)
+    sel_t, sel_m = _cache_lattice(surface_dir, protocols, v,
+                                  n_points=n_points_cap)
+    # per-protocol dispatch parameters (train-r1.py:460/490 vs :602/633/640;
+    # pr4 as in train-r1-bad.py:459-492)
+    params = {"pr3": dict(cutoff=0.01, tri_x0=X0_TRI, bi_times=()),
+              "pr4": dict(cutoff=0.015, tri_x0=X02_TRI, bi_times=()),
+              "pr5": dict(cutoff=0.015, tri_x0=X02_TRI,
+                          bi_times=PR5_BI_TIMES)}
+    out = {}
+    for name in protocols:
+        tl, m = sel_t[name], sel_m[name]
+        vl, al, dl, d2l = v[m], a[m], dadt[m], d2[m]
+        pp = params[name]
+        vfull, dt = protorec.load_voltage(f"{name}-cell5")
+        edges = P.segment_edges(np.arange(len(vfull)) * dt, vfull)
+        ao = np.zeros_like(tl)
+        do = np.zeros_like(tl)
+        d2o = np.zeros_like(tl)
+        branch = np.full(len(tl), "", dtype=object)
+        t_i = 0.0
+        n_fitted = 0
+        for t_f in edges:
+            idx = np.where((tl >= t_i) & (tl < t_f))[0]
+            t_i = t_f
+            if len(idx) < n_min:
+                continue
+            if max_segments is not None and n_fitted >= max_segments:
+                break
+            n_fitted += 1
+            ts_, as_ = tl[idx], al[idx]
+            tloc = ts_ - ts_[0]
+            if np.std(as_) > pp["cutoff"]:
+                kind = ("bi" if any(is_within(ts_, tb)
+                                    for tb in pp["bi_times"]) else "tri")
+                stride = max(1, len(idx) // max_fit_points)
+                x = fit_exp_ls(tloc[::stride], as_[::stride], kind,
+                               pp["tri_x0"] if kind == "tri" else X0_BI,
+                               seed=seed)
+                ao[idx], do[idx], d2o[idx] = eval_exp(kind, tloc, x)
+                branch[idx] = kind
+            else:
+                asm = smooth_same_np(as_, 51)
+                spl = UnivariateSpline(ts_, asm, k=4)
+                spl.set_smoothing_factor(0.2)
+                ao[idx] = spl(ts_)
+                do[idx] = spl(ts_, 1)
+                d2o[idx] = spl(ts_, 2)
+                branch[idx] = "spline"
+        out[name] = dict(t=tl, v=vl, a=ao, dadt=do, d2=d2o,
+                         a_ref=al, dadt_ref=dl, d2_ref=d2l, branch=branch)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Measured-current recovery from the reference's cached training surfaces
 # ---------------------------------------------------------------------------
+
+def _cache_lattice(surface_dir: str, protocols, v: np.ndarray,
+                   n_points: int = 70):
+    """Retained-sample split of a cached surface: {name: local times} and
+    {name: bool selector into the concatenated cache arrays}.
+
+    r1/r2 store t.pt (Pr3+Pr5 concatenated on a global clock,
+    train-r1.py:800-803); r1-bad stores none — its lattice is rederived
+    from the reconstructed protocols' own masks (3 ms cap, verified
+    bit-exact against r1-bad/v.pt)."""
+    from ionflux import protorec
+    from ionflux.utils.ptload import pt_load
+
+    if os.path.exists(f"{surface_dir}/t.pt"):
+        # the PR3_N split below is specific to the r1/r2 Pr3+Pr5 caches
+        if tuple(protocols) != ("pr3", "pr5"):
+            raise ValueError(
+                "the t.pt split is hardcoded for protocols=('pr3','pr5'); "
+                f"got {tuple(protocols)} — use the mask-derived branch "
+                "(surface dirs without t.pt) for other pairs")
+        t = np.asarray(pt_load(f"{surface_dir}/t.pt"))
+        n1 = protorec.PR3_N
+        in3 = np.round(t / protorec.DT_MS).astype(np.int64) < n1
+        sel_t = {protocols[0]: t[in3],
+                 protocols[1]: t[~in3] - (n1 - 1) * protorec.DT_MS}
+        sel_m = {protocols[0]: in3, protocols[1]: ~in3}
+    else:
+        # rebuild the retained-sample lattice from the protocol masks
+        sel_t, sel_m, pos = {}, {}, 0
+        for name in protocols:
+            vfull, dt = protorec.load_voltage(f"{name}-cell5")
+            m = P.training_mask(vfull, n_points=n_points)
+            idx = np.where(m)[0][10::7]
+            np.testing.assert_array_equal(vfull[idx], v[pos:pos + len(idx)])
+            sel_t[name] = idx * dt
+            sel = np.zeros(len(v), bool)
+            sel[pos:pos + len(idx)] = True
+            sel_m[name] = sel
+            pos += len(idx)
+    return sel_t, sel_m
+
 
 def recover_measurements(surface_dir: str, c: Constants, rgate: HHParams,
                          protocols=("pr3", "pr5"), n_points: int = 70,
@@ -182,32 +322,7 @@ def recover_measurements(surface_dir: str, c: Constants, rgate: HHParams,
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     v = np.asarray(pt_load(f"{surface_dir}/v.pt"))
     a = np.asarray(pt_load(f"{surface_dir}/a.pt"))
-    if os.path.exists(f"{surface_dir}/t.pt"):
-        # the PR3_N split below is specific to the r1/r2 Pr3+Pr5 caches
-        if tuple(protocols) != ("pr3", "pr5"):
-            raise ValueError(
-                "the t.pt split is hardcoded for protocols=('pr3','pr5'); "
-                f"got {tuple(protocols)} — use the mask-derived branch "
-                "(surface dirs without t.pt) for other pairs")
-        t = np.asarray(pt_load(f"{surface_dir}/t.pt"))
-        n1 = protorec.PR3_N
-        in3 = np.round(t / protorec.DT_MS).astype(np.int64) < n1
-        sel_t = {protocols[0]: t[in3],
-                 protocols[1]: t[~in3] - (n1 - 1) * protorec.DT_MS}
-        sel_m = {protocols[0]: in3, protocols[1]: ~in3}
-    else:
-        # rebuild the retained-sample lattice from the protocol masks
-        sel_t, sel_m, pos = {}, {}, 0
-        for name in protocols:
-            vfull, dt = protorec.load_voltage(f"{name}-cell5")
-            m = P.training_mask(vfull, n_points=n_points)
-            idx = np.where(m)[0][10::7]
-            np.testing.assert_array_equal(vfull[idx], v[pos:pos + len(idx)])
-            sel_t[name] = idx * dt
-            sel = np.zeros(len(v), bool)
-            sel[pos:pos + len(idx)] = True
-            sel_m[name] = sel
-            pos += len(idx)
+    sel_t, sel_m = _cache_lattice(surface_dir, protocols, v, n_points)
     out = {}
     for name in protocols:
         tl, sel = sel_t[name], sel_m[name]

@@ -105,17 +105,20 @@ def surface_from_recordings(spec: RealStudy, data_dir: str,
                    "pr4-inactivation-cell-5.csv"],
     }[spec.surface_dir if spec.surface_dir in ("r1", "r2", "r1-bad")
       else "r1"]
-    # Pr5's flat holding tails are bi-exp segments; -90 mV needs CMA-ES
-    # (train-r1.py:633, 554/640)
-    pr5_bi = (2000, 12000, 22000, 33000, 43000, 53000, 64000, 74000, 84000)
+    from ionflux.ops.expfit import X0_TRI
+    from ionflux.realdata import PR5_BI_TIMES, PR5_CMA_VOLTAGES
+
     parts = []
     for fname in files:
         t, i, v = load_recording(os.path.join(data_dir, fname))
         kw = {}
-        # per-protocol exp-vs-spline cutoffs (train-r1.py:460, 524, 602)
-        cfg = RealSurfaceConfig(std_cutoff=0.01 if "pr3" in fname else 0.015)
+        # per-protocol exp-vs-spline cutoffs and tri-exp initial guesses
+        # (train-r1.py:460, 524, 602; x0 at :490 vs x02 at :545/634)
+        cfg = RealSurfaceConfig(
+            std_cutoff=0.01 if "pr3" in fname else 0.015,
+            tri_x0=tuple(X0_TRI) if "pr3" in fname else None)
         if "pr5" in fname:
-            kw = dict(bi_exp_times=pr5_bi, cma_voltages=(-90.0,))
+            kw = dict(bi_exp_times=PR5_BI_TIMES, cma_voltages=PR5_CMA_VOLTAGES)
         if smoothi:
             ts_, vs_, a_, dadt_, d2_ = real_surface_smoothi(
                 t, i, v, spec.rgate, spec.constants, cfg, **kw)

@@ -86,3 +86,79 @@ def test_smoothi_sine_window_branch():
     dadt_ref = np.asarray(a_gate_rhs(HH_B06, jnp.asarray(a_ref[m]),
                                      jnp.asarray(vs[m])))
     assert np.sqrt(np.mean((dadt[m] - dadt_ref) ** 2)) < 2e-2
+
+
+# ---------------------------------------------------------------------------
+# Cache-refit parity vs the reference's real-lineage --smoothi surfaces
+# (VERDICT r3 next #8): the archived r-study caches were produced WITH
+# --smoothi (d2adt2.pt exists only on that branch, train-r1.py:809-811), so
+# re-running our segment-fit dispatch on the cached gate values must
+# reproduce the cached analytic derivatives.
+# ---------------------------------------------------------------------------
+
+import os
+
+import pytest
+
+REFERENCE = "/root/reference"
+SLOW = os.environ.get("IONFLUX_SLOW_TESTS") == "1"
+
+
+def test_fit_exp_ls_exact_recovery():
+    from ionflux.ops.expfit import eval_exp, fit_exp_ls, tri_exp
+
+    t = np.linspace(0.0, 500.0, 801)
+    # includes a mildly NEGATIVE rate (growing component) — the basin a
+    # log-rate parameterisation cannot represent
+    x_true = np.array([0.8, 1 / 30, -0.3, 1 / 120, 0.15, -1 / 900, 0.05])
+    a = tri_exp(t, x_true)
+    x = fit_exp_ls(t, a, "tri")
+    av, dv, d2v = eval_exp("tri", t, x)
+    assert np.max(np.abs(av - a)) < 1e-8
+    _, dv_true, d2_true = eval_exp("tri", t, x_true)
+    assert np.max(np.abs(dv - dv_true)) < 1e-8
+    assert np.max(np.abs(d2v - d2_true)) < 1e-9
+
+
+@pytest.mark.skipif(not os.path.exists(f"{REFERENCE}/r1/d2adt2.pt"),
+                    reason="reference r1 smoothi cache not mounted")
+def test_smoothi_refit_matches_r1_cache():
+    """Fast tier: the first 8 fitted Pr5 segments cover all three dispatch
+    branches (spline holds, bi-exp +50 mV tails, tri-exp deactivation
+    steps); the full three-study parity runs under IONFLUX_SLOW_TESTS=1."""
+    from ionflux.realdata import smoothi_refit_cache
+
+    out = smoothi_refit_cache(f"{REFERENCE}/r1", protocols=("pr3", "pr5"),
+                              max_segments=8)
+    r = out["pr5"]
+    fit = r["branch"] != ""
+    assert {"tri", "bi", "spline"} <= set(r["branch"][fit])
+    for field, ref, tol in (("a", "a_ref", 1e-3),
+                            ("dadt", "dadt_ref", 3e-4),
+                            ("d2", "d2_ref", 5e-5)):
+        err = np.abs(r[field] - r[ref])[fit]
+        assert err.max() < tol, (field, err.max())
+
+
+@pytest.mark.skipif(not SLOW, reason="full-study smoothi cache parity "
+                    "(set IONFLUX_SLOW_TESTS=1)")
+@pytest.mark.parametrize("study,kw", [
+    ("r1", {}),
+    ("r2", {}),
+    ("r1-bad", dict(protocols=("pr3", "pr4"), n_points_cap=30)),
+])
+def test_smoothi_refit_full_study(study, kw):
+    from ionflux.realdata import smoothi_refit_cache
+
+    out = smoothi_refit_cache(f"{REFERENCE}/{study}", **kw)
+    for name, r in out.items():
+        fit = r["branch"] != ""
+        # bounds calibrated from the measured refit (see ROADMAP): exp
+        # segments reproduce to ~1e-7; spline segments re-fit on the
+        # subsampled lattice to a few 1e-4 of the gate / derivative
+        for field, ref, tol in (("a", "a_ref", 2e-2),
+                                ("dadt", "dadt_ref", 2e-3),
+                                ("d2", "d2_ref", 5e-4)):
+            err = np.abs(r[field] - r[ref])[fit]
+            assert err.max() < tol, (study, name, field, err.max())
+            assert np.percentile(err, 99) < tol / 5, (study, name, field)
