@@ -31,6 +31,9 @@ def study_parser(desc: str, real: bool = False) -> argparse.ArgumentParser:
                    choices=["cpu", "axon", "tpu"])
     p.add_argument("--outdir", type=str, default=None)
     p.add_argument("--x64", action="store_true")
+    p.add_argument("--trace", action="store_true",
+                   help="capture a jax.profiler trace of the whole run "
+                        "under <outdir>/trace/ (SURVEY §5.1)")
     return p
 
 
@@ -80,4 +83,14 @@ def setup(args, default_outdir: str) -> str:
     jax.config.update("jax_compilation_cache_dir", cache)
     outdir = args.outdir or os.path.join(repo, "out", default_outdir)
     os.makedirs(outdir, exist_ok=True)
+    if getattr(args, "trace", False):
+        # whole-run profiler trace (SURVEY §5.1 rebuild note): stopped at
+        # interpreter exit so every stage of the script is captured;
+        # inspect with xprof/tensorboard or jax.profiler tooling
+        import atexit
+
+        trace_dir = os.path.join(outdir, "trace")
+        jax.profiler.start_trace(trace_dir)
+        atexit.register(jax.profiler.stop_trace)
+        print(f"profiler trace -> {trace_dir}")
     return outdir
