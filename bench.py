@@ -733,6 +733,36 @@ def _probe_backend(timeout_s: float):
     return True, None
 
 
+def _promote_popsweep_headline(rec: dict) -> None:
+    """Headline promotion (VERDICT r3 next #3): the real CMA-ES objective
+    scores every member on MULTIPLE protocols (train-d0.py:465-492
+    concatenates Pr3+Pr5), and the popsweep kernel rides those Q protocol
+    rows in the MXU M dimension — so when it beats the single-protocol
+    lockstep it IS the headline configuration, not a separate workload.
+    The lockstep numbers stay in the record under lockstep_*."""
+    psps = rec.get("pallas_popsweep_solves_per_sec")
+    if not psps or psps <= rec.get("solves_per_sec", 0.0):
+        return
+    for k in ("solves_per_sec", "batch", "mfu_bf16_peak",
+              "achieved_gflops", "bound"):
+        if k in rec:
+            rec[f"lockstep_{k}"] = rec.pop(k)
+    rec["solves_per_sec"] = psps
+    rec["batch"] = (rec.get("pallas_popsweep_members", 0)
+                    * rec.get("pallas_popsweep_protocols", 0))
+    rec["headline_kernel"] = (
+        f"pallas-popsweep P={rec.get('pallas_popsweep_members')}"
+        f" x Q={rec.get('pallas_popsweep_protocols')} sinewave"
+        " variants (multi-protocol CMA-ES objective shape)")
+    if "pallas_popsweep_mfu_bf16_peak" in rec:
+        rec["mfu_bf16_peak"] = rec["pallas_popsweep_mfu_bf16_peak"]
+        rec["achieved_gflops"] = rec.get("pallas_popsweep_achieved_gflops")
+        rec["bound"] = (
+            f"{rec.get('pallas_popsweep_us_per_trip')} us/trip"
+            f" over {rec.get('pallas_popsweep_trips')} executed"
+            " trips; Q protocol rows in the MXU M dim")
+
+
 def emit(value, baseline, **extra):
     rec = {
         "metric": "nnf_sinewave_batched_solves_per_sec",
@@ -823,35 +853,7 @@ def main():
                     rec.update(prec)
                 elif perr:
                     log(f"pallas popsweep metric skipped: {perr}")
-            # headline promotion (VERDICT r3 next #3): the real CMA-ES
-            # objective scores every member on MULTIPLE protocols
-            # (train-d0.py:465-492 concatenates Pr3+Pr5), and the popsweep
-            # kernel rides those Q protocol rows in the MXU M dimension —
-            # so when it beats the single-protocol lockstep it IS the
-            # headline configuration, not a separate workload.  The
-            # lockstep numbers stay in the record under lockstep_*.
-            psps = rec.get("pallas_popsweep_solves_per_sec")
-            if psps and psps > rec.get("solves_per_sec", 0.0):
-                for k in ("solves_per_sec", "batch", "mfu_bf16_peak",
-                          "achieved_gflops", "bound"):
-                    if k in rec:
-                        rec[f"lockstep_{k}"] = rec.pop(k)
-                rec["solves_per_sec"] = psps
-                rec["batch"] = (rec.get("pallas_popsweep_members", 0)
-                                * rec.get("pallas_popsweep_protocols", 0))
-                rec["headline_kernel"] = (
-                    f"pallas-popsweep P={rec.get('pallas_popsweep_members')}"
-                    f" x Q={rec.get('pallas_popsweep_protocols')} sinewave"
-                    " variants (multi-protocol CMA-ES objective shape)")
-                if "pallas_popsweep_mfu_bf16_peak" in rec:
-                    rec["mfu_bf16_peak"] = rec[
-                        "pallas_popsweep_mfu_bf16_peak"]
-                    rec["achieved_gflops"] = rec.get(
-                        "pallas_popsweep_achieved_gflops")
-                    rec["bound"] = (
-                        f"{rec.get('pallas_popsweep_us_per_trip')} us/trip"
-                        f" over {rec.get('pallas_popsweep_trips')} executed"
-                        " trips; Q protocol rows in the MXU M dim")
+            _promote_popsweep_headline(rec)
             # fourth metric: NN-f sinewave training-epoch time — the
             # metric BASELINE.json names (400 surface-Adam iters + the
             # 2-rollout validation solve)

@@ -103,3 +103,33 @@ def test_bench_emits_json_on_total_failure():
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     assert rec["value"] is None
     assert "boom" in rec["error"]
+
+
+def test_bench_popsweep_headline_promotion():
+    """When the popsweep kernel beats the lockstep, it takes the headline
+    and the lockstep fields move under lockstep_* (VERDICT r3 next #3)."""
+    import bench
+
+    rec = {"solves_per_sec": 604.0, "batch": 64, "mfu_bf16_peak": 0.0001,
+           "achieved_gflops": 20.0, "bound": "lockstep bound",
+           "pallas_popsweep_solves_per_sec": 4600.0,
+           "pallas_popsweep_members": 64,
+           "pallas_popsweep_protocols": 8,
+           "pallas_popsweep_trips": 6144,
+           "pallas_popsweep_us_per_trip": 28.0,
+           "pallas_popsweep_achieved_gflops": 9000.0,
+           "pallas_popsweep_mfu_bf16_peak": 0.045}
+    bench._promote_popsweep_headline(rec)
+    assert rec["solves_per_sec"] == 4600.0
+    assert rec["batch"] == 512
+    assert rec["lockstep_solves_per_sec"] == 604.0
+    assert rec["lockstep_bound"] == "lockstep bound"
+    assert rec["mfu_bf16_peak"] == 0.045
+    assert "pallas-popsweep" in rec["headline_kernel"]
+
+    # and when the lockstep wins, nothing moves
+    rec2 = {"solves_per_sec": 604.0,
+            "pallas_popsweep_solves_per_sec": 500.0}
+    bench._promote_popsweep_headline(rec2)
+    assert rec2["solves_per_sec"] == 604.0
+    assert "headline_kernel" not in rec2
