@@ -398,3 +398,30 @@ def test_simulate_population_real_standin_segmentation():
                                         SYNTHETIC))
         err = float(np.max(np.abs(cur[n][0] - i_ref)))
         assert err < 2e-2 * (i_ref.max() - i_ref.min()), (n, err)
+
+
+def test_popsweep_return_records_n_valid_under_jit():
+    """The bench roofline pulls the executed-trip count through
+    jit(... return_records=True).n_valid (bench.measure_pallas_popsweep) —
+    guard that plumbing in interpret mode before it runs on chip."""
+    from ionflux.ops.pallas_solve import fused_nnf_popsweep_solve_ft
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    pop_net = jax.vmap(
+        lambda k: nnf_init(k, HH_B06, n_layers=1, n_nodes=16).net)(keys)
+    protos = P.stack([P.activation_protocol(v, dt_ms=1.0)
+                      for v in (-40.0, 20.0)])
+    ts = jnp.linspace(0.0, 8000.0, 161, dtype=jnp.float32)
+
+    def stats(ns):
+        recs = fused_nnf_popsweep_solve_ft(
+            [(w, b) for w, b in ns], HH_B06, protos.v, ts, proto_dt=1.0,
+            trips=2048, t_end=8000.0, return_records=True,
+            interpret=True)
+        return recs.n_valid, recs.n_acc
+
+    n_valid, n_acc = jax.jit(stats)(pop_net)
+    n_valid, n_acc = int(n_valid), int(n_acc)
+    # executed trips come in whole blocks and bound the accepted count
+    assert n_valid % 32 == 0 and 0 < n_valid <= 2048
+    assert 0 < n_acc <= n_valid
