@@ -55,6 +55,11 @@ class RealSurfaceConfig:
     # tri-exp initial guess: the reference uses x0 for Pr3 segments and x02
     # for Pr4/sinewave/Pr5 (train-r1.py:490 vs :545/634); None -> X02_TRI
     tri_x0: tuple | None = None
+    # exp-fit optimiser: "fmin" = reference-faithful single Nelder-Mead
+    # (+CMA fallback, train-r1.py:490/555); "ls" = the grid-seeded
+    # varpro + LM pipeline (ops/expfit.fit_exp_ls) — strictly stronger,
+    # recovers basins the single fmin stalls on
+    fit_method: str = "fmin"
 
 
 def _recording_protocol(t: np.ndarray, v: np.ndarray) -> P.Protocol:
@@ -133,13 +138,20 @@ def real_surface_smoothi(t, i, v, rgate: HHParams, c: Constants,
         if np.std(afit_raw) > cfg.std_cutoff and not in_sine:
             tl = tfit - tfit[0]
             if any(is_within(tfit, tb) for tb in bi_exp_times):
-                x = fit_exp(tl, afit_raw, "bi", X0_BI)
+                if cfg.fit_method == "ls":
+                    x = fit_exp_ls(tl, afit_raw, "bi", X0_BI)
+                else:
+                    x = fit_exp(tl, afit_raw, "bi", X0_BI)
                 vals = eval_exp("bi", t[full] - tfit[0], x)
             else:
                 use_cma = any(abs(seg_v - cv) < 0.5 for cv in cma_voltages)
                 tri_x0 = (np.asarray(cfg.tri_x0) if cfg.tri_x0 is not None
                           else X02_TRI)
-                x = fit_exp(tl, afit_raw, "tri", tri_x0, use_cma=use_cma)
+                if cfg.fit_method == "ls":
+                    x = fit_exp_ls(tl, afit_raw, "tri", tri_x0)
+                else:
+                    x = fit_exp(tl, afit_raw, "tri", tri_x0,
+                                use_cma=use_cma)
                 vals = eval_exp("tri", t[full] - tfit[0], x)
             ao[full], dadto[full], d2o[full] = vals
         else:
