@@ -74,6 +74,22 @@ def _median_reps(fn, n_rep: int) -> tuple[float, list[float]]:
     return float(np.median(times)), [round(t, 4) for t in times]
 
 
+def _burst_seconds(fn, k: int) -> float:
+    """Pipelined-burst timing: dispatch k launches back-to-back, one final
+    sync.  Each SYNCED rep (_median_reps) pays the full host->device
+    dispatch round trip (~25 ms over the remote tunnel) on top of the
+    kernel time; production callers dispatch asynchronously, so for short
+    kernels the amortized burst is the honest THROUGHPUT number and the
+    synced median is the honest per-launch LATENCY — the record carries
+    both."""
+    out = None
+    t0 = time.perf_counter()
+    for _ in range(k):
+        out = fn()
+    out.block_until_ready()
+    return time.perf_counter() - t0
+
+
 def sinewave_voltage(t: np.ndarray) -> np.ndarray:
     """Sinewave-style protocol (Beattie-2018-like): hold, leak step, then a
     sum-of-three-sines exploration segment."""
@@ -321,11 +337,17 @@ def measure_pallas_sweep() -> dict:
     with _trace_ctx("pallas-sweep"):
         dt, reps = _median_reps(lambda: fused(protos.v), 7)
     sps = b / dt
+    burst_k = 8
+    dt_burst = _burst_seconds(lambda: fused(protos.v), burst_k)
+    sps_burst = burst_k * b / dt_burst
     log(f"pallas-ft sweep: {b} solves, median {dt*1e3:.1f} ms -> "
-        f"{sps:.1f} solves/s (reps {reps})")
+        f"{sps:.1f} solves/s synced (reps {reps}); pipelined burst of "
+        f"{burst_k}: {sps_burst:.1f} solves/s")
     return {"pallas_sweep_solves_per_sec": round(sps, 1),
             "pallas_sweep_batch": b,
-            "pallas_sweep_rep_seconds": reps}
+            "pallas_sweep_rep_seconds": reps,
+            "pallas_sweep_pipelined_solves_per_sec": round(sps_burst, 1),
+            "pallas_sweep_burst_k": burst_k}
 
 
 def measure_pallas_popsweep() -> dict:
@@ -381,6 +403,9 @@ def measure_pallas_popsweep() -> dict:
     with _trace_ctx("pallas-popsweep"):
         dt, reps = _median_reps(lambda: fused(pop_net), 5)
     sps = p_mem * q / dt
+    burst_k = 4
+    dt_burst = _burst_seconds(lambda: fused(pop_net), burst_k)
+    sps_burst = burst_k * p_mem * q / dt_burst
     # roofline accounting (VERDICT r3 next #3): the kernel reports its
     # executed trip count (n_valid = blocks * block — the early-exit while
     # stops in 256-trip quanta), and each trip evaluates 6 RK stages of a
@@ -394,18 +419,28 @@ def measure_pallas_popsweep() -> dict:
     flops = n_trips * EVALS_PER_STEP * p_mem * q * FLOPS_PER_EVAL_PER_LANE
     mfu = flops / dt / PEAK_BF16_FLOPS
     us_per_trip = dt / max(n_trips, 1) * 1e6
+    # amortized per-launch kernel time from the burst: the synced rep
+    # includes the dispatch RTT, which is not kernel time
+    dt_kernel = dt_burst / burst_k
+    mfu_pipe = flops / dt_kernel / PEAK_BF16_FLOPS
     log(f"pallas-ft popsweep: {p_mem}x{q} = {p_mem*q} solves, median "
-        f"{dt*1e3:.1f} ms -> {sps:.1f} solves/s (reps {reps}); "
-        f"{n_trips} trips at {us_per_trip:.1f} us/trip, "
-        f"{flops/dt/1e9:.0f} GFLOP/s, MFU {mfu*100:.3f}% of bf16 peak")
+        f"{dt*1e3:.1f} ms -> {sps:.1f} solves/s synced (reps {reps}); "
+        f"pipelined burst of {burst_k}: {sps_burst:.1f} solves/s; "
+        f"{n_trips} trips at {us_per_trip:.1f} us/trip synced "
+        f"({dt_kernel/max(n_trips,1)*1e6:.1f} us/trip pipelined), "
+        f"{flops/dt/1e9:.0f} GFLOP/s, MFU {mfu*100:.3f}% synced / "
+        f"{mfu_pipe*100:.3f}% pipelined of bf16 peak")
     return {"pallas_popsweep_solves_per_sec": round(sps, 1),
             "pallas_popsweep_members": p_mem,
             "pallas_popsweep_protocols": q,
             "pallas_popsweep_rep_seconds": reps,
+            "pallas_popsweep_pipelined_solves_per_sec": round(sps_burst, 1),
+            "pallas_popsweep_burst_k": burst_k,
             "pallas_popsweep_trips": n_trips,
             "pallas_popsweep_us_per_trip": round(us_per_trip, 2),
             "pallas_popsweep_achieved_gflops": round(flops / dt / 1e9, 1),
-            "pallas_popsweep_mfu_bf16_peak": round(mfu, 5)}
+            "pallas_popsweep_mfu_bf16_peak": round(mfu, 5),
+            "pallas_popsweep_pipelined_mfu_bf16_peak": round(mfu_pipe, 5)}
 
 
 # ---------------------------------------------------------------------------

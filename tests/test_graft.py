@@ -105,6 +105,35 @@ def test_bench_emits_json_on_total_failure():
     assert "boom" in rec["error"]
 
 
+def test_bench_trace_capture_produces_files():
+    """IONFLUX_BENCH_TRACE=1 must write a jax.profiler trace per bench case
+    under out/bench-traces/<case>/ (VERDICT r3 next #10; SURVEY §5.1
+    rebuild note).  Exercised on the CPU backend with a stand-in case."""
+    import shutil
+
+    trace_dir = os.path.join(REPO, "out", "bench-traces", "test-trace")
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "import bench, jax.numpy as jnp\n"
+        "f = jax.jit(lambda x: x @ x)\n"
+        "x = jnp.ones((64, 64))\n"
+        "with bench._trace_ctx('test-trace'):\n"
+        "    f(x).block_until_ready()\n"
+        "print('trace ok')\n"
+    )
+    try:
+        out = _run([sys.executable, "-c", code], timeout=300,
+                   extra_env={"IONFLUX_BENCH_TRACE": "1"})
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert "trace ok" in out.stdout
+        files = [os.path.join(dp, f) for dp, _, fs in os.walk(trace_dir)
+                 for f in fs]
+        assert files, f"no trace files written under {trace_dir}"
+    finally:
+        shutil.rmtree(trace_dir, ignore_errors=True)
+
+
 def test_bench_popsweep_headline_promotion():
     """When the popsweep kernel beats the lockstep, it takes the headline
     and the lockstep fields move under lockstep_* (VERDICT r3 next #3)."""
