@@ -499,13 +499,17 @@ def measure_epoch(force_cpu: bool = False) -> dict:
     y = jnp.asarray(ys)
     opt0 = init_opt_state(params.net, step_size=EPOCH_ITERS)
 
-    def train_epoch():
-        net, _opt, losses = fit_chunk(params.net, opt0, x, y,
-                                      iters=EPOCH_ITERS)
-        return losses
+    # scalar-output jit: on the axon backend block_until_ready() on one
+    # output of a MULTI-output executable can return before the work runs
+    # (measured 0.3 ms for a 50 ms epoch — the round-4 capture bug); a
+    # scalar result's readiness is reliable, and the 400-step scan cannot
+    # be dead-code-eliminated because each loss depends on the previous
+    # step's params
+    train_epoch = jax.jit(
+        lambda: fit_chunk(params.net, opt0, x, y, iters=EPOCH_ITERS)[2][-1])
 
     n_rep = 1 if force_cpu else 3  # the CPU fallback window is tight
-    train_epoch()[0].block_until_ready()  # compile
+    float(train_epoch())  # compile + drain
     with _trace_ctx("epoch-train"):
         t_train, reps_t = _median_reps(
             lambda: train_epoch(), n_rep)

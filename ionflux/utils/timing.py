@@ -5,6 +5,12 @@ error evaluation (train-d0.py:513-519) and 400-iter progress prints.  Here:
 a context-manager stage timer with a report, and a solves/sec meter for the
 BASELINE throughput metric.  ``jax.profiler.trace`` can wrap any stage for
 full TPU traces.
+
+Caveat (remote axon backend): ``block_until_ready`` on one output of a
+MULTI-output executable has been observed to return before the work runs
+(bench.py round-4 capture bug).  When timing over that backend, prefer a
+scalar-output jit or sync with a value fetch (``np.asarray``); single-array
+outputs behave correctly (verified block == fetch on the solve kernels).
 """
 
 from __future__ import annotations
