@@ -1037,6 +1037,15 @@ def fused_nnf_popsweep_solve_ft(
     # {3,5,6} hard-fault the chip backend): pad Q by duplicating the last
     # protocol row and slice the members' rows back at the end
     q = max(2, 1 << (q_req - 1).bit_length())
+    if q > 8 and not interpret:
+        # the Mosaic chip backend hard-faults (compiler Check failure
+        # 'limits[i] <= dim(i)', process coredump) lowering this kernel
+        # past 2Q=16 record sublanes — measured with a Q=16 probe in
+        # round 4; interpret mode handles any Q
+        raise ValueError(
+            f"popsweep supports at most 8 protocol rows per launch on the "
+            f"chip backend (got Q={q_req}, pads to {q}); split into <=8-row "
+            f"launches — eval.simulate_population does this automatically")
     if q != q_req:
         protos_v = jnp.concatenate(
             [protos_v,

@@ -247,6 +247,41 @@ def test_simulate_population_matches_family():
         assert float(jnp.max(jnp.abs(i_pop[m] - i_ref))) < 5e-3
 
 
+def test_popsweep_q_over_8_guard_and_split():
+    """The chip backend hard-faults past 2Q=16 record sublanes (round-4
+    Q=16 probe coredumped in the Mosaic compiler): the kernel must refuse
+    Q>8 with a clear error instead, and eval.simulate_population must
+    split bigger families into <=8-row launches."""
+    import pytest as _pytest
+
+    from ionflux.eval import simulate_population
+    from ionflux.models.registry import SYNTHETIC
+    from ionflux.ops.pallas_solve import fused_nnf_popsweep_solve_ft
+
+    p_mem = 2
+    pop = jax.vmap(lambda k: nnf_init(k, HH_B06, n_layers=1,
+                                      n_nodes=16))(
+        jax.random.split(jax.random.PRNGKey(5), p_mem))
+    protos = [P.activation_protocol(v, dt_ms=1.0)
+              for v in np.linspace(-40.0, 50.0, 10)]
+    ts = jnp.linspace(0.0, 8000.0, 81, jnp.float32)
+
+    # the guard raises BEFORE any lowering (so it fires on any backend)
+    stacked = P.stack(protos)
+    with _pytest.raises(ValueError, match="at most 8 protocol rows"):
+        fused_nnf_popsweep_solve_ft([(w, b) for w, b in pop.net], HH_B06,
+                                    stacked.v, ts, proto_dt=1.0, trips=256)
+
+    # the split path: [P, 10, T], groups bit-identical to direct launches
+    i_pop = simulate_population("nnf", pop, protos, ts, SYNTHETIC,
+                                trips=2048, interpret=True)
+    assert i_pop.shape == (p_mem, 10, 81)
+    i_tail = simulate_population("nnf", pop, protos[8:], ts, SYNTHETIC,
+                                 trips=2048, interpret=True)
+    assert bool(jnp.all(i_pop[:, 8:] == i_tail))
+    assert bool(jnp.all(jnp.isfinite(i_pop)))
+
+
 def test_popsweep_per_lane_death():
     """A divergent member must not poison the launch (batched.py per-lane
     death semantics): its rows evaluate to inf, survivors stay accurate."""
