@@ -204,6 +204,7 @@ def _population_currents(nets, rg, hh, b: P.Protocol, ts, c: Constants, *,
         trips=kw.get("trips", 4096),
         base_hh=hh,
         cull=kw.get("cull", True),
+        mxu_bf16=kw.get("mxu_bf16", False),
         interpret=kw.get("interpret", False))                  # [P, Q, T, 2]
     v = jax.vmap(lambda pr: P.voltage(pr, ts))(b)              # [Q, T]
     return gate_current(ys, v[None], c)

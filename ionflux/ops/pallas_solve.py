@@ -774,7 +774,7 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
                              dt_knot: float, t_end: float, rgate: tuple,
                              rtol: float, atol: float, trips: int, p: int,
                              q: int, block: int, base_a: tuple = (),
-                             cull: bool = True):
+                             cull: bool = True, mxu_bf16: bool = False):
     p5, p6, p7, p8 = rgate
     inv_dt = 1.0 / dt_knot
     A = [[float(x) for x in row] for row in _A]
@@ -806,8 +806,12 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
         def mlp(x):                                             # x [P, Q, n]
             h = x
             for li, (wr, br) in enumerate(zip(w_refs, b_refs)):
+                # mxu_bf16: weights arrive bf16 (cast once on the host,
+                # halving their VMEM residency); activations cast per
+                # layer, accumulation stays f32 — the MXU's native mode
+                lhs = h.astype(jnp.bfloat16) if mxu_bf16 else h
                 h = jax.lax.dot_general(
-                    h, wr[...], (((2,), (1,)), ((0,), (0,))),
+                    lhs, wr[...], (((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)         # [P, Q, m]
                 h = h + br[...][:, None, :]
                 if li < n_layers - 1:
@@ -1017,6 +1021,7 @@ def fused_nnf_popsweep_solve_ft(
     y0: jnp.ndarray | None = None,
     return_records: bool = False,
     cull: bool = True,
+    mxu_bf16: bool = False,
     interpret: bool = False,
 ):
     """Fixed-trip fused solve for P member nets x Q protocols concurrently
@@ -1029,6 +1034,16 @@ def fused_nnf_popsweep_solve_ft(
     semantics).  return_records skips phase 2 and returns the raw record
     stream (rec_sc, rec_y, rec_k, n_acc, n_valid, q_pad) so callers with
     long output grids can dense-eval in T-chunks (PopsweepRecords.evaluate).
+    mxu_bf16 stores the MLP weights in bf16 and feeds the matmuls bf16
+    operands with f32 accumulation.  On the TPU backend this is
+    BIT-IDENTICAL to the f32 path — XLA's DEFAULT matmul precision
+    already truncates f32 dot operands to one bf16 pass at the MXU
+    (verified on chip: f32 vs bf16-stored dots match exactly, in XLA and
+    in Mosaic) — while halving the resident weight bytes (the relevant
+    budget for growing P past 64 members).  Measured round 4: no
+    throughput change at P=64 (the resident population fits VMEM either
+    way).  On CPU/interpret backends, where f32 dots are genuine f32,
+    the truncation changes results by ~2^-8 relative.
     Returns ys [P, Q, T, 2]."""
     p = nets[0][0].shape[0]
     q_req, n = protos_v.shape
@@ -1071,7 +1086,8 @@ def fused_nnf_popsweep_solve_ft(
         [protos_v.astype(jnp.float32),
          jnp.broadcast_to(protos_v[:, -1:].astype(jnp.float32),
                           (q, n_pad - n))], axis=1)
-    ws = [w.astype(jnp.float32) for w, _ in nets]
+    w_dtype = jnp.bfloat16 if mxu_bf16 else jnp.float32
+    ws = [w.astype(w_dtype) for w, _ in nets]
     bs = [bb.astype(jnp.float32) for _, bb in nets]
 
     # VMEM record ring: block sized so the K ring (block * 7 * 2Q * 128 f32)
@@ -1089,7 +1105,7 @@ def fused_nnf_popsweep_solve_ft(
         base_a=(tuple(float(x) for x in
                       (base_hh.p1, base_hh.p2, base_hh.p3, base_hh.p4))
                 if base_hh is not None else ()),
-        cull=cull)
+        cull=cull, mxu_bf16=mxu_bf16)
 
     rec_sc, rec_y, rec_k, n_acc, m_pack = pl.pallas_call(
         kernel,

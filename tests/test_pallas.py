@@ -282,6 +282,31 @@ def test_popsweep_q_over_8_guard_and_split():
     assert bool(jnp.all(jnp.isfinite(i_pop)))
 
 
+def test_popsweep_mxu_bf16_storage():
+    """mxu_bf16 stores the member weights in bf16 (half the resident
+    bytes).  On the CPU/interpret backend — where f32 dots are genuine
+    f32 — the truncation shifts currents by O(2^-8) relative, so the two
+    paths must differ but stay close; on the TPU backend they are
+    bit-identical (DEFAULT matmul precision already truncates to bf16 —
+    chip-verified in round 4, see the kernel docstring)."""
+    from ionflux.eval import simulate_population
+    from ionflux.models.registry import SYNTHETIC
+
+    pop = jax.vmap(lambda k: nnf_init(k, HH_B06, n_layers=1,
+                                      n_nodes=16))(
+        jax.random.split(jax.random.PRNGKey(0), 3))
+    protos = [P.activation_protocol(v, dt_ms=1.0) for v in (-40.0, 40.0)]
+    ts = jnp.linspace(0.0, 8000.0, 161, jnp.float32)
+    i32 = simulate_population("nnf", pop, protos, ts, SYNTHETIC,
+                              trips=2048, interpret=True)
+    ib = simulate_population("nnf", pop, protos, ts, SYNTHETIC,
+                             trips=2048, interpret=True, mxu_bf16=True)
+    assert bool(jnp.all(jnp.isfinite(ib)))
+    dev = float(jnp.max(jnp.abs(i32 - ib)))
+    rng = float(jnp.max(jnp.abs(i32)))
+    assert 0.0 < dev < 0.02 * rng
+
+
 def test_popsweep_per_lane_death():
     """A divergent member must not poison the launch (batched.py per-lane
     death semantics): its rows evaluate to inf, survivors stay accurate."""
