@@ -254,10 +254,19 @@ def odeint_batched_chunked(
     sequential chunks of <= max_lanes (one lax.map, one compile).
 
     Why: per-lane parameters (e.g. a 0.97 MB MLP per CMA-ES member) stay
-    VMEM-resident only up to ~64 lanes on a v5e chip; beyond that every RHS
-    eval restreams the weights from HBM and throughput collapses (measured:
-    604 solves/s at b=64 vs 129 at b=512 unchunked — bench.py scaling
-    probe).  Chunking keeps each solve at the VMEM sweet spot.
+    VMEM-resident only up to ~64 lanes on a v5e chip; beyond that
+    throughput collapses (measured: 604 solves/s at b=64 vs 129 at b=512
+    unchunked — bench.py scaling probe).  Root cause, confirmed by HLO +
+    device-profile diff (round 4): XLA computes these dots at bf16 (the
+    chip's DEFAULT matmul precision) and memory-space assignment pins the
+    bf16 weight images in VMEM — 5 x 5.12 MB at b=64 fits, so the while
+    body is pure fusions; 5 x 10.24 MB at b=128 exceeds the budget, the
+    weights demote to HBM, and XLA inserts per-WHILE-ITERATION prefetch
+    copies (copy.16x, 51.2 MB/iter ~ 132 us at ~390 GB/s effective) that
+    double the per-step wall.  bf16-STORED weights do not help — the
+    resident/streamed image is already bf16 either way (measured: 266
+    solves/s at b=128 with either storage).  Chunking keeps each solve at
+    the VMEM sweet spot.
 
     sort_lanes=True additionally orders lanes by a per-lane stiffness proxy
     (the error-weighted |f(t0, y0)| that drives the initial step size)
