@@ -196,6 +196,8 @@ def shard_objective(mesh, per_member_fn: Callable | None = None,
             out_shardings=NamedSharding(mesh, Ps(axis)),
         )
 
+    multiproc = jax.process_count() > 1
+
     def objective(xs: np.ndarray) -> np.ndarray:
         n = xs.shape[0]
         pad = (-n) % popsize
@@ -203,6 +205,17 @@ def shard_objective(mesh, per_member_fn: Callable | None = None,
             xs = np.concatenate([xs, np.repeat(xs[-1:], pad, axis=0)])
         import jax.numpy as jnp
 
+        if multiproc:
+            # SPMD driver: every process proposed the same population, so
+            # each materialises only its addressable member shards, and the
+            # loss vector all-gathers back (over DCN on a real pod) so
+            # every process's CMA-ES update sees identical ranks
+            from ionflux.parallel.multihost import (gather_global,
+                                                    scatter_global)
+            xs_g = scatter_global(mesh, np.asarray(xs, np.float32))
+            with mesh:
+                out = fn(xs_g)
+            return gather_global(mesh, out).astype(np.float64)[:n]
         with mesh:
             out = fn(jnp.asarray(xs, jnp.float32))
         return np.asarray(out, np.float64)[:n]

@@ -5,6 +5,12 @@ from ionflux.parallel.mesh import (
     pad_to_multiple,
     sharded_map,
 )
+from ionflux.parallel.multihost import (
+    init_multihost,
+    global_mesh,
+    scatter_global,
+    gather_global,
+)
 
 __all__ = [
     "make_mesh",
@@ -12,4 +18,8 @@ __all__ = [
     "replicate",
     "pad_to_multiple",
     "sharded_map",
+    "init_multihost",
+    "global_mesh",
+    "scatter_global",
+    "gather_global",
 ]
