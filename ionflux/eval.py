@@ -107,10 +107,10 @@ def simulate_family(kind: str, params, protos: list[P.Protocol],
     pallas_sweep_solves_per_sec).  First compile of a new shape goes
     through the remote Mosaic service (minutes, cached after).
     Tolerance defaults match the XLA path (rtol 1e-6 / atol 1e-8).
-    Failure semantics differ: this kernel has NO per-lane death — one
-    divergent lane (or a trips-budget shortfall under a tight tolerance)
-    infs the WHOLE family.  For per-lane isolation route the family
-    through simulate_population (popsweep kernel) instead.
+    Failure semantics match too (round 4): the kernel has per-lane death —
+    a divergent protocol lane freezes, leaves the shared controller, and
+    returns inf for ITS row only.  A trips-budget shortfall (t_end not
+    reached) still infs the whole family.
     """
     if backend == "pallas":
         if kind not in ("nnf", "nnd"):

@@ -287,8 +287,9 @@ def _make_kernel_ft(n_layers: int, n_knots_padded: int, t0: float,
     def kernel(v_ref, *refs):
         w_refs = refs[:n_layers]
         b_refs = refs[n_layers:2 * n_layers]
-        rec_sc, rec_y, rec_k, n_out_ref = refs[2 * n_layers:2 * n_layers + 4]
-        vm_sc, vm_y, vm_k, sems = refs[2 * n_layers + 4:]
+        (rec_sc, rec_y, rec_k, n_out_ref,
+         m_out_ref) = refs[2 * n_layers:2 * n_layers + 5]
+        vm_sc, vm_y, vm_k, sems = refs[2 * n_layers + 5:]
 
         def voltage(t):
             x = (t - t0) * inv_dt
@@ -342,7 +343,11 @@ def _make_kernel_ft(n_layers: int, n_knots_padded: int, t0: float,
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)[0]
 
         def body(i, state):
-            (t, y, f, h, n_acc, t_la, h_la, y_la, ks_la) = state
+            (t, y, f, h, n_acc, alive, t_la, h_la, y_la, ks_la) = state
+            # alive carried as f32 (Mosaic cannot yield i1 vectors from
+            # the loop); per-lane death mirrors the popsweep kernel: one
+            # divergent protocol lane must not inf the whole family
+            alive_b = alive > 0.5
             h_eff = jnp.maximum(jnp.minimum(h, t_end - t), 1e-8)
 
             ks = [f]
@@ -360,9 +365,25 @@ def _make_kernel_ft(n_layers: int, n_knots_padded: int, t0: float,
                 if BE[sj] != 0.0:
                     err = err + (h_eff * BE[sj]) * ks[sj]
             scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
-            ratio = jnp.sqrt(jnp.max(jnp.mean((err / scale) ** 2, axis=-1)))
-            finite = jnp.all(jnp.isfinite(y1)) & jnp.isfinite(ratio)
-            accept = (ratio <= 1.0) & finite
+            # per-lane error; shared accept on the worst LIVE lane.  Lane
+            # badness folds into the ONE max reduction via a finite
+            # sentinel (see the popsweep kernel's controller comment):
+            # non-finite err or scale NaN-poisons r_l, which reads as the
+            # 3.4e38 sentinel and rejects the trip through the ordinary
+            # controller algebra
+            r_l = jnp.sqrt(jnp.mean((err / scale) ** 2, axis=-1))    # [B]
+            r_l = r_l + (scale[:, 0] + scale[:, 1]) * 0.0
+            lane_bad = ~(r_l < jnp.float32(jnp.inf))
+            r_c = jnp.where(lane_bad, jnp.float32(3.4e38), r_l)
+            ratio = jnp.max(jnp.where(alive_b, r_c, 0.0))
+            accept = ratio <= 1.0
+            # a live lane that cannot pass even near the minimum step dies:
+            # frozen finite state, excluded from the controller, masked to
+            # inf in phase 2
+            lane_pass = ~lane_bad & (r_l <= 1.0)
+            alive_b = alive_b & (lane_pass | (h_eff > 2e-7))
+            alive = alive_b.astype(jnp.float32)
+            adv = (accept & alive_b)[:, None]                      # [B, 1]
 
             # masked advance of the last-accepted interpolant
             t_la = jnp.where(accept, t, t_la)
@@ -380,19 +401,22 @@ def _make_kernel_ft(n_layers: int, n_knots_padded: int, t0: float,
             vm_k[pl.ds(i, 1), :, :, :] = ks_la[None]
 
             t = jnp.where(accept, t + h_eff, t)
-            y = jnp.where(accept, y1, y)
-            f = jnp.where(accept, ks[6], f)
+            y = jnp.where(adv, y1, y)
+            f = jnp.where(adv, ks[6], f)
             n_acc = n_acc + accept.astype(jnp.int32)
             factor = _SAFETY * jnp.exp(
                 -0.2 * jnp.log(jnp.maximum(ratio, 1e-10)))
-            factor = jnp.where(jnp.isfinite(factor), factor, _MINF)
+            # ratio == sentinel -> factor ~9e-9 -> clipped to _MINF
             h = h_eff * jnp.clip(factor, _MINF,
                                  jnp.where(accept, _MAXF, 1.0))
-            return (t, y, f, h, n_acc, t_la, h_la, y_la, ks_la)
+            return (t, y, f, h, n_acc, alive, t_la, h_la, y_la, ks_la)
 
+        # lanes whose RHS is non-finite at rest are dead from the start
+        alive0 = jnp.all(jnp.isfinite(f0), axis=-1)
+        f0 = jnp.where(alive0[:, None], f0, 0.0)
         init = (jnp.float32(t0), y0, f0, jnp.float32(dt_knot * 10.0),
-                jnp.int32(0), jnp.float32(t0), jnp.float32(1e-8),
-                _pad_bt(y0), jnp.stack([_pad_bt(f0)] * 7))
+                jnp.int32(0), alive0.astype(jnp.float32), jnp.float32(t0),
+                jnp.float32(1e-8), _pad_bt(y0), jnp.stack([_pad_bt(f0)] * 7))
 
         # two-level loop: the inner fori block is straight-line (Mosaic
         # pipelines it); the outer while adds ONE data-dependent check and
@@ -403,9 +427,8 @@ def _make_kernel_ft(n_layers: int, n_knots_padded: int, t0: float,
 
         def blk_cond(state):
             blk, st = state
-            t_, y_ = st[0], st[1]
-            return (blk < n_blocks) & (t_ < t_end) & jnp.all(
-                jnp.isfinite(y_))
+            return ((blk < n_blocks) & (st[0] < t_end)
+                    & jnp.any(st[5] > 0.5))
 
         def blk_body(state):
             blk, st = state
@@ -430,13 +453,15 @@ def _make_kernel_ft(n_layers: int, n_knots_padded: int, t0: float,
             c2.wait()
             return blk + 1, st
 
-        _blk, (t, y, f, h, n_acc, t_la, h_la, y_la, ks_la) = (
+        _blk, (t, y, f, h, n_acc, alive, t_la, h_la, y_la, ks_la) = (
             jax.lax.while_loop(blk_cond, blk_body, (jnp.int32(0), init)))
         # records past the early-exit point hold stale garbage; phase 2
         # masks them out via the valid-trip count
-        ok = (t >= t_end) & jnp.all(jnp.isfinite(y))
+        ok = t >= t_end
         n_out_ref[0, 0] = jnp.where(ok, n_acc, -jnp.maximum(n_acc, 1))
         n_out_ref[0, 1] = _blk * block
+        m_out_ref[...] = _pad_bt(jnp.broadcast_to(
+            alive[:, None], (b, 2)))
 
     return kernel
 
@@ -460,7 +485,10 @@ def fused_nnf_solve_ft(
     must exceed the adaptive attempt count (ok=False and inf output
     otherwise, like every other solver sentinel).  base_hh switches the
     kernel to the NN-d family (MLP as additive correction to the analytic
-    p1-p4 a-gate, with r-gate from base_hh).  Returns ys [B, T, 2]."""
+    p1-p4 a-gate, with r-gate from base_hh).  Divergence is isolated PER
+    LANE (round 4, matching the popsweep kernel): a protocol row that goes
+    non-finite or grinds at the minimum step freezes, leaves the shared
+    controller, and returns inf for its row only.  Returns ys [B, T, 2]."""
     b, n = protos_v.shape
     t_end = float(t_end) if t_end is not None else float(ts[-1])
     n_pad = ((n + 127) // 128) * 128 + 256
@@ -480,13 +508,14 @@ def fused_nnf_solve_ft(
                       (base_hh.p1, base_hh.p2, base_hh.p3, base_hh.p4))
                 if base_hh is not None else ()))
 
-    rec_sc, rec_y, rec_k, n_acc = pl.pallas_call(
+    rec_sc, rec_y, rec_k, n_acc, m_pack = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((trips, 128), jnp.float32),
             jax.ShapeDtypeStruct((trips, 2, 128), jnp.float32),
             jax.ShapeDtypeStruct((trips, 7, 2, 128), jnp.float32),
             jax.ShapeDtypeStruct((1, 2), jnp.int32),
+            jax.ShapeDtypeStruct((2, 128), jnp.float32),
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + 2 * len(ws)),
         out_specs=(
@@ -494,6 +523,7 @@ def fused_nnf_solve_ft(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((256, 128), jnp.float32),
@@ -506,15 +536,20 @@ def fused_nnf_solve_ft(
     )(vpad, *ws, *bs)
 
     return _dense_eval_ft(rec_sc, rec_y, rec_k, n_acc[0, 0], n_acc[0, 1],
-                          ts.astype(jnp.float32), b)
+                          ts.astype(jnp.float32), b,
+                          lane_ok=m_pack[0, :b] > 0.5)
 
 
 @partial(jax.jit, static_argnames=("b",))
-def _dense_eval_ft(rec_sc, rec_y, rec_k, n_acc, n_valid, ts, b):
+def _dense_eval_ft(rec_sc, rec_y, rec_k, n_acc, n_valid, ts, b,
+                   lane_ok=None):
     """Phase 2 for the fixed-trip record stream: trip-indexed records hold
     the last-accepted interpolant, so record times are non-decreasing and
     the binary search lands on the interval containing each output time
-    (records past the early-exit block are masked to +inf)."""
+    (records past the early-exit block are masked to +inf).  lane_ok [B]
+    (optional) additionally infs out individual dead lanes — the
+    per-lane-death kernels pass it so one divergent lane no longer
+    poisons the family/population."""
     ok = n_acc > 0
     big = jnp.float32(3.4e38)
     t_rec = jnp.where(jnp.arange(rec_sc.shape[0]) < n_valid,
@@ -530,6 +565,9 @@ def _dense_eval_ft(rec_sc, rec_y, rec_k, n_acc, n_valid, ts, b):
     y0s = rec_y[idx][..., :b]                                      # [T,2,B]
     ys = y0s + hs[:, None, None] * jnp.einsum("tj,tjsb->tsb", bpoly, kk)
     ys = jnp.transpose(ys, (2, 0, 1))                              # [B,T,2]
+    if lane_ok is not None:
+        ys = jnp.where(lane_ok[:, None, None], ys,
+                       jnp.full_like(ys, jnp.inf))
     return jnp.where(ok, ys, jnp.full_like(ys, jnp.inf))
 
 
@@ -556,8 +594,9 @@ def _make_kernel_pop_ft(n_layers: int, n_knots_padded: int, t0: float,
     def kernel(v_ref, *refs):
         w_refs = refs[:n_layers]
         b_refs = refs[n_layers:2 * n_layers]
-        rec_sc, rec_y, rec_k, n_out_ref = refs[2 * n_layers:2 * n_layers + 4]
-        vm_sc, vm_y, vm_k, sems = refs[2 * n_layers + 4:]
+        (rec_sc, rec_y, rec_k, n_out_ref,
+         m_out_ref) = refs[2 * n_layers:2 * n_layers + 5]
+        vm_sc, vm_y, vm_k, sems = refs[2 * n_layers + 5:]
 
         def voltage(t):
             # shared protocol: scalar V(t), broadcast across lanes
@@ -608,7 +647,12 @@ def _make_kernel_pop_ft(n_layers: int, n_knots_padded: int, t0: float,
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)[0]
 
         def body(i, state):
-            (t, y, f, h, n_acc, t_la, h_la, y_la, ks_la) = state
+            (t, y, f, h, n_acc, alive, t_la, h_la, y_la, ks_la) = state
+            # alive carried as f32 (Mosaic cannot yield i1 vectors from
+            # the loop); per-lane death mirrors the popsweep kernel: one
+            # divergent CMA-ES member must not erase the generation's
+            # ranking information (batched.py per-lane-death semantics)
+            alive_b = alive > 0.5
             h_eff = jnp.maximum(jnp.minimum(h, t_end - t), 1e-8)
             ks = [f]
             for si in range(1, 7):
@@ -625,9 +669,18 @@ def _make_kernel_pop_ft(n_layers: int, n_knots_padded: int, t0: float,
                 if BE[sj] != 0.0:
                     err = err + (h_eff * BE[sj]) * ks[sj]
             scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
-            ratio = jnp.sqrt(jnp.max(jnp.mean((err / scale) ** 2, axis=-1)))
-            finite = jnp.all(jnp.isfinite(y1)) & jnp.isfinite(ratio)
-            accept = (ratio <= 1.0) & finite
+            # per-lane error, sentinel-folded lane badness (popsweep
+            # controller comment explains the NaN-poison algebra)
+            r_l = jnp.sqrt(jnp.mean((err / scale) ** 2, axis=-1))    # [B]
+            r_l = r_l + (scale[:, 0] + scale[:, 1]) * 0.0
+            lane_bad = ~(r_l < jnp.float32(jnp.inf))
+            r_c = jnp.where(lane_bad, jnp.float32(3.4e38), r_l)
+            ratio = jnp.max(jnp.where(alive_b, r_c, 0.0))
+            accept = ratio <= 1.0
+            lane_pass = ~lane_bad & (r_l <= 1.0)
+            alive_b = alive_b & (lane_pass | (h_eff > 2e-7))
+            alive = alive_b.astype(jnp.float32)
+            adv = (accept & alive_b)[:, None]                      # [B, 1]
             t_la = jnp.where(accept, t, t_la)
             h_la = jnp.where(accept, h_eff, h_la)
             y_la = jnp.where(accept, _pad_bt(y), y_la)
@@ -639,27 +692,30 @@ def _make_kernel_pop_ft(n_layers: int, n_knots_padded: int, t0: float,
             vm_y[pl.ds(i, 1), :, :] = y_la[None]
             vm_k[pl.ds(i, 1), :, :, :] = ks_la[None]
             t = jnp.where(accept, t + h_eff, t)
-            y = jnp.where(accept, y1, y)
-            f = jnp.where(accept, ks[6], f)
+            y = jnp.where(adv, y1, y)
+            f = jnp.where(adv, ks[6], f)
             n_acc = n_acc + accept.astype(jnp.int32)
             factor = _SAFETY * jnp.exp(
                 -0.2 * jnp.log(jnp.maximum(ratio, 1e-10)))
-            factor = jnp.where(jnp.isfinite(factor), factor, _MINF)
+            # ratio == sentinel -> factor ~9e-9 -> clipped to _MINF
             h = h_eff * jnp.clip(factor, _MINF,
                                  jnp.where(accept, _MAXF, 1.0))
-            return (t, y, f, h, n_acc, t_la, h_la, y_la, ks_la)
+            return (t, y, f, h, n_acc, alive, t_la, h_la, y_la, ks_la)
 
+        # members whose RHS is non-finite at rest are dead from the start
+        alive0 = jnp.all(jnp.isfinite(f0), axis=-1)
+        f0 = jnp.where(alive0[:, None], f0, 0.0)
         init = (jnp.float32(t0), y0, f0, jnp.float32(dt_knot * 10.0),
-                jnp.int32(0), jnp.float32(t0), jnp.float32(1e-8),
-                _pad_bt(y0), jnp.stack([_pad_bt(f0)] * 7))
+                jnp.int32(0), alive0.astype(jnp.float32), jnp.float32(t0),
+                jnp.float32(1e-8), _pad_bt(y0), jnp.stack([_pad_bt(f0)] * 7))
         block = 256
         assert trips % block == 0
         n_blocks = trips // block
 
         def blk_cond(state):
             blk, st = state
-            return (blk < n_blocks) & (st[0] < t_end) & jnp.all(
-                jnp.isfinite(st[1]))
+            return ((blk < n_blocks) & (st[0] < t_end)
+                    & jnp.any(st[5] > 0.5))
 
         def blk_body(state):
             blk, st = state
@@ -679,11 +735,13 @@ def _make_kernel_pop_ft(n_layers: int, n_knots_padded: int, t0: float,
             c2.wait()
             return blk + 1, st
 
-        _blk, (t, y, f, h, n_acc, *_r) = jax.lax.while_loop(
+        _blk, (t, y, f, h, n_acc, alive, *_r) = jax.lax.while_loop(
             blk_cond, blk_body, (jnp.int32(0), init))
-        ok = (t >= t_end) & jnp.all(jnp.isfinite(y))
+        ok = t >= t_end
         n_out_ref[0, 0] = jnp.where(ok, n_acc, -jnp.maximum(n_acc, 1))
         n_out_ref[0, 1] = _blk * block
+        m_out_ref[...] = _pad_bt(jnp.broadcast_to(
+            alive[:, None], (b, 2)))
 
     return kernel
 
@@ -703,7 +761,11 @@ def fused_nnf_pop_solve_ft(
     interpret: bool = False,
 ):
     """Fixed-trip fused solve for a per-lane-weights NN-f population on ONE
-    shared protocol (the CMA-ES workload).  Returns ys [B, T, 2]."""
+    shared protocol (the CMA-ES workload).  Divergence is isolated PER
+    MEMBER (round 4): a divergent candidate net freezes, leaves the shared
+    controller, and scores inf alone — one bad CMA-ES member no longer
+    erases the generation's ranking information (batched.py semantics).
+    Returns ys [B, T, 2]."""
     b = nets[0][0].shape[0]
     assert b <= 128, "lane padding targets one 128-lane tile"
     n = proto_v.shape[0]
@@ -721,13 +783,14 @@ def fused_nnf_pop_solve_ft(
         tuple(float(x) for x in (rgate.p5, rgate.p6, rgate.p7, rgate.p8)),
         float(rtol), float(atol), int(trips), b)
 
-    rec_sc, rec_y, rec_k, n_acc = pl.pallas_call(
+    rec_sc, rec_y, rec_k, n_acc, m_pack = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((trips, 128), jnp.float32),
             jax.ShapeDtypeStruct((trips, 2, 128), jnp.float32),
             jax.ShapeDtypeStruct((trips, 7, 2, 128), jnp.float32),
             jax.ShapeDtypeStruct((1, 2), jnp.int32),
+            jax.ShapeDtypeStruct((2, 128), jnp.float32),
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + 2 * len(ws)),
         out_specs=(
@@ -735,6 +798,7 @@ def fused_nnf_pop_solve_ft(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((256, 128), jnp.float32),
@@ -749,7 +813,8 @@ def fused_nnf_pop_solve_ft(
     )(vpad, *ws, *bs)
 
     return _dense_eval_ft(rec_sc, rec_y, rec_k, n_acc[0, 0], n_acc[0, 1],
-                          ts.astype(jnp.float32), b)
+                          ts.astype(jnp.float32), b,
+                          lane_ok=m_pack[0, :b] > 0.5)
 
 
 # ---------------------------------------------------------------------------

@@ -485,3 +485,58 @@ def test_popsweep_return_records_n_valid_under_jit():
     # executed trips come in whole blocks and bound the accepted count
     assert n_valid % 32 == 0 and 0 < n_valid <= 2048
     assert 0 < n_acc <= n_valid
+
+
+def test_fused_fixed_trip_per_lane_death_sweep():
+    """Per-lane death in the protocol-sweep kernel (round 4, ADVICE r3 #2):
+    one divergent protocol row must return inf for ITS row only, and the
+    healthy rows must still match the all-healthy solve."""
+    from ionflux.ops.pallas_solve import fused_nnf_solve_ft
+
+    params = nnf_init(jax.random.PRNGKey(0), HH_B06, n_layers=1, n_nodes=16)
+    good = [P.activation_protocol(v, dt_ms=1.0) for v in (-40.0, 20.0)]
+    protos_ok = P.stack(good)
+    # a NaN-knot protocol row: its RHS is non-finite at rest, so the lane
+    # is dead from trip 0 (the alive0 path).  In-loop death via a pinned
+    # step is covered by the pop-kernel test below — for a PROTOCOL-driven
+    # failure it is unreachable by design: an adaptive controller crawls
+    # up to a forcing wall with ever-passing micro-steps (the f32 clock
+    # ulp keeps t this side of the wall) exactly like the single-lane
+    # solver would, and the family fails on the trips budget instead.
+    bad_v = jnp.full_like(good[0].v, jnp.nan)
+    protos = P.stack(good + [P.Protocol(good[0].t0, good[0].dt, bad_v)])
+    ts = jnp.linspace(0.0, 8000.0, 161, dtype=jnp.float32)
+    ys = fused_nnf_solve_ft(params.net, HH_B06, protos.v, ts, proto_dt=1.0,
+                            trips=2048, interpret=True)
+    assert not bool(jnp.any(jnp.isfinite(ys[2])))         # dead lane: inf
+    assert bool(jnp.all(jnp.isfinite(ys[:2])))            # others: finite
+    ref = fused_nnf_solve_ft(params.net, HH_B06, protos_ok.v, ts,
+                             proto_dt=1.0, trips=2048, interpret=True)
+    assert float(jnp.max(jnp.abs(ys[:2] - ref))) < 2e-2
+
+
+def test_fused_fixed_trip_per_lane_death_pop():
+    """Per-lane death in the per-lane-weights population kernel: one
+    divergent candidate net scores inf alone; the rest of the generation
+    keeps its ranking information (batched.py per-lane semantics)."""
+    from ionflux.ops.pallas_solve import fused_nnf_pop_solve_ft
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    pop_net = jax.vmap(
+        lambda k: nnf_init(k, HH_B06, n_layers=1, n_nodes=16).net)(keys)
+    nets_ok = [(w, b) for w, b in pop_net]
+    # member 1's output layer scaled 1e6: da/dt ~ 1e4/ms blows the a-gate
+    # up until the lane grinds at the minimum step and dies
+    nets_bad = [
+        (w.at[1].mul(1e6 if li == len(nets_ok) - 1 else 1.0), b)
+        for li, (w, b) in enumerate(nets_ok)]
+    proto = P.activation_protocol(20.0, dt_ms=1.0)
+    ts = jnp.linspace(0.0, 8000.0, 161, jnp.float32)
+    ys = fused_nnf_pop_solve_ft(nets_bad, HH_B06, proto.v, ts, proto_dt=1.0,
+                                trips=2048, interpret=True)
+    assert not bool(jnp.any(jnp.isfinite(ys[1])))         # dead member: inf
+    ok_rows = jnp.array([0, 2, 3])
+    assert bool(jnp.all(jnp.isfinite(ys[ok_rows])))
+    ref = fused_nnf_pop_solve_ft(nets_ok, HH_B06, proto.v, ts, proto_dt=1.0,
+                                 trips=2048, interpret=True)
+    assert float(jnp.max(jnp.abs(ys[ok_rows] - ref[ok_rows]))) < 5e-3
