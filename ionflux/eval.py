@@ -118,6 +118,16 @@ def simulate_family(kind: str, params, protos: list[P.Protocol],
                              "(nnf/nnd) only")
         from ionflux.ops.pallas_solve import fused_nnf_solve_ft
 
+        if len(protos) > 128:
+            # the kernel targets one 128-lane tile; split like
+            # simulate_population splits >8-protocol popsweep launches
+            half = (len(protos) + 1) // 2
+            return jnp.concatenate([
+                simulate_family(kind, params, protos[:half], ts, c,
+                                vmapped=vmapped, backend=backend, **kw),
+                simulate_family(kind, params, protos[half:], ts, c,
+                                vmapped=vmapped, backend=backend, **kw)],
+                axis=0)
         b = P.stack(protos)
         ys = fused_nnf_solve_ft(
             params.net,

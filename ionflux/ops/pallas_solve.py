@@ -490,6 +490,11 @@ def fused_nnf_solve_ft(
     non-finite or grinds at the minimum step freezes, leaves the shared
     controller, and returns inf for its row only.  Returns ys [B, T, 2]."""
     b, n = protos_v.shape
+    if b > 128:
+        raise ValueError(
+            f"the sweep kernel targets one 128-lane tile (got B={b}); "
+            f"split the family — eval.simulate_family does this "
+            f"automatically")
     t_end = float(t_end) if t_end is not None else float(ts[-1])
     n_pad = ((n + 127) // 128) * 128 + 256
     vpad = jnp.concatenate(

@@ -540,3 +540,26 @@ def test_fused_fixed_trip_per_lane_death_pop():
     ref = fused_nnf_pop_solve_ft(nets_ok, HH_B06, proto.v, ts, proto_dt=1.0,
                                  trips=2048, interpret=True)
     assert float(jnp.max(jnp.abs(ys[ok_rows] - ref[ok_rows]))) < 5e-3
+
+
+def test_fused_fixed_trip_sweep_over_128_guard_and_split():
+    """B>128 protocol rows: the kernel refuses with a clear error and
+    simulate_family auto-splits (mirrors the popsweep Q>8 guard)."""
+    from ionflux.eval import simulate_family
+    from ionflux.models.registry import SYNTHETIC
+    from ionflux.ops.pallas_solve import fused_nnf_solve_ft
+
+    params = nnf_init(jax.random.PRNGKey(0), HH_B06, n_layers=1, n_nodes=16)
+    protos = [P.activation_protocol(-40.0 + 0.5 * i, dt_ms=1.0)
+              for i in range(130)]
+    ts = jnp.linspace(0.0, 8000.0, 41, jnp.float32)
+    with pytest.raises(ValueError, match="128-lane tile"):
+        fused_nnf_solve_ft(params.net, HH_B06, P.stack(protos).v, ts,
+                           proto_dt=1.0, trips=2048, interpret=True)
+    i_all = simulate_family("nnf", params, protos, ts, SYNTHETIC,
+                            backend="pallas", trips=2048, interpret=True)
+    assert i_all.shape == (130, 41)
+    i_two = simulate_family("nnf", params, [protos[0], protos[-1]], ts,
+                            SYNTHETIC, backend="pallas", trips=2048,
+                            interpret=True)
+    assert float(jnp.max(jnp.abs(i_all[jnp.array([0, 129])] - i_two))) < 1e-4
