@@ -110,7 +110,9 @@ def simulate_family(kind: str, params, protos: list[P.Protocol],
     Failure semantics match too (round 4): the kernel has per-lane death —
     a divergent protocol lane freezes, leaves the shared controller, and
     returns inf for ITS row only.  A trips-budget shortfall (t_end not
-    reached) still infs the whole family.
+    reached) still infs the whole LAUNCH — which is the whole family up
+    to 128 protocols; larger families auto-split into <=128-lane launches
+    with independent controllers, so a shortfall infs only its half.
     """
     if backend == "pallas":
         if kind not in ("nnf", "nnd"):
