@@ -352,10 +352,12 @@ def measure_pallas_sweep() -> dict:
 
 def measure_pallas_popsweep() -> dict:
     """Third metric: the fused population x protocol-sweep solve (64 member
-    nets x 8 sinewave variants = 512 concurrent solves, one launch) — the
+    nets x 16 sinewave variants = 1024 concurrent solves, one launch) — the
     checkpoint-validation / ensemble-replay workload.  The Q protocol rows
     ride the MXU M dimension, fixing the per-member pop kernel's M=1
-    batched-matmul wall (ops/pallas_solve.fused_nnf_popsweep_solve_ft)."""
+    batched-matmul wall (ops/pallas_solve.fused_nnf_popsweep_solve_ft).
+    Q=16 rides the round-4 fold_bias unlock (the old Q<=8 Mosaic ceiling);
+    chip-measured 2.1x the Q=8 launch at the same trip budget."""
     import jax
     import jax.numpy as jnp
 
@@ -367,7 +369,7 @@ def measure_pallas_popsweep() -> dict:
     from ionflux.models.registry import HH_B06
     from ionflux.ops.pallas_solve import fused_nnf_popsweep_solve_ft
 
-    p_mem, q = 64, 8
+    p_mem, q = 64, 16
     knots = np.linspace(0.0, 8000.0, 80001)
     # Q distinct waveforms SHARING segment boundaries (amplitude/frequency
     # scaled per row): distinct work per row without staggering the

@@ -181,15 +181,18 @@ def simulate_population(kind: str, pop_params, protos: list[P.Protocol],
     population axis (e.g. from jax.vmap(nnf_init) or stacked checkpoints);
     rgate/hh scalars are shared across members.  NN-f/NN-d only.
 
-    Protocol families larger than 8 are split into sequential <=8-row
-    launches (the Mosaic lowering caps the kernel at 2Q=16 record
-    sublanes) and concatenated along Q.
+    Protocol families larger than ops.pallas_solve.POPSWEEP_SPLIT_ROWS
+    are split into sequential launches of that many rows (the measured
+    per-launch sweet spot; the kernel itself accepts up to
+    POPSWEEP_MAX_ROWS) and concatenated along Q.
     """
-    if len(protos) > 8:
+    from ionflux.ops.pallas_solve import POPSWEEP_SPLIT_ROWS as _SQ
+
+    if len(protos) > _SQ:
         return jnp.concatenate(
-            [simulate_population(kind, pop_params, protos[i:i + 8], ts, c,
-                                 **kw)
-             for i in range(0, len(protos), 8)], axis=1)
+            [simulate_population(kind, pop_params, protos[i:i + _SQ], ts,
+                                 c, **kw)
+             for i in range(0, len(protos), _SQ)], axis=1)
     b = P.stack(protos)
     nets, rg, hh = _pop_split(kind, pop_params)
     return _population_currents(nets, rg, hh, b, ts, c,
@@ -238,12 +241,15 @@ def simulate_population_sharded(kind: str, pop_params,
 
     if mesh is None:
         mesh = make_mesh(axes=(axis,))
-    if len(protos) > 8:
-        # same <=8-rows-per-launch split as simulate_population
+    from ionflux.ops.pallas_solve import POPSWEEP_SPLIT_ROWS as _SQ
+
+    if len(protos) > _SQ:
+        # same rows-per-launch split as simulate_population
         return jnp.concatenate(
-            [simulate_population_sharded(kind, pop_params, protos[i:i + 8],
+            [simulate_population_sharded(kind, pop_params,
+                                         protos[i:i + _SQ],
                                          ts, c, mesh=mesh, axis=axis, **kw)
-             for i in range(0, len(protos), 8)], axis=1)
+             for i in range(0, len(protos), _SQ)], axis=1)
     n_dev = mesh.shape[axis]
     p_mem = pop_params.net[0][0].shape[0]
     if p_mem % n_dev:

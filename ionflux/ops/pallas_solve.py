@@ -38,6 +38,13 @@ from ionflux.solver.dopri5 import _A, _B_ERR, _B_SOL, _C, _P_DENSE
 
 _SAFETY, _MINF, _MAXF = 0.9, 0.2, 10.0
 
+# Popsweep protocol-row limits: the kernel refuses > MAX_ROWS per launch
+# (unprobed layouts past 2Q=64 record sublanes); callers that auto-split
+# big families (eval.simulate_population) chunk at SPLIT_ROWS, the
+# measured per-launch throughput sweet spot on v5e.
+POPSWEEP_MAX_ROWS = 32
+POPSWEEP_SPLIT_ROWS = 16
+
 
 def _make_kernel(n_layers: int, n_knots_padded: int, t0: float,
                  dt_knot: float, t_end: float, rgate: tuple, rtol: float,
@@ -836,7 +843,9 @@ def fused_nnf_pop_solve_ft(
 # to the full 8-sublane MXU tile, so 7/8 of the systolic array idles (the
 # measured residual wall, ROADMAP "Performance").  Putting the Q protocol
 # rows in M fills the tile: [P, Q, n] x [P, n, m] does Q solves' worth of
-# RHS work in the SAME padded matmul for Q <= 8.
+# RHS work in the SAME padded matmul for Q <= 8, and amortises the
+# per-trip controller/record floor further at Q = 16/32 (multi-tile M,
+# unlocked by fold_bias — see the round-4 bisect note inside mlp()).
 # ---------------------------------------------------------------------------
 
 
@@ -844,7 +853,8 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
                              dt_knot: float, t_end: float, rgate: tuple,
                              rtol: float, atol: float, trips: int, p: int,
                              q: int, block: int, base_a: tuple = (),
-                             cull: bool = True, mxu_bf16: bool = False):
+                             cull: bool = True, mxu_bf16: bool = False,
+                             fold_bias: bool = False):
     p5, p6, p7, p8 = rgate
     inv_dt = 1.0 / dt_knot
     A = [[float(x) for x in row] for row in _A]
@@ -854,10 +864,11 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
 
     def kernel(v_ref, y0_ref, *refs):
         w_refs = refs[:n_layers]
-        b_refs = refs[n_layers:2 * n_layers]
+        nb = 0 if fold_bias else n_layers
+        b_refs = refs[n_layers:n_layers + nb]
         (rec_sc, rec_y, rec_k, n_out_ref,
-         m_out_ref) = refs[2 * n_layers:2 * n_layers + 5]
-        vm_sc, vm_y, vm_k, sems = refs[2 * n_layers + 5:]
+         m_out_ref) = refs[n_layers + nb:n_layers + nb + 5]
+        vm_sc, vm_y, vm_k, sems = refs[n_layers + nb + 5:]
 
         def voltage(t):
             # Q per-protocol knot rows, one shared clock: [Q] voltages
@@ -875,7 +886,16 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
 
         def mlp(x):                                             # x [P, Q, n]
             h = x
-            for li, (wr, br) in enumerate(zip(w_refs, b_refs)):
+            for li, wr in enumerate(w_refs):
+                if fold_bias:
+                    # q > 8: the bias add's [P, 1, m] sublane broadcast
+                    # onto a >=2-tile dot result hard-faults Mosaic
+                    # ('limits[i] <= dim(i) (2 vs. 1)', round-4 bisect);
+                    # the bias rides the matmul instead as an augmented
+                    # ones-column row (host concats it into the weights)
+                    h = jnp.concatenate(
+                        [h, jnp.ones(h.shape[:2] + (1,), h.dtype)],
+                        axis=-1)
                 # mxu_bf16: weights arrive bf16 (cast once on the host,
                 # halving their VMEM residency); activations cast per
                 # layer, accumulation stays f32 — the MXU's native mode
@@ -883,7 +903,8 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
                 h = jax.lax.dot_general(
                     lhs, wr[...], (((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)         # [P, Q, m]
-                h = h + br[...][:, None, :]
+                if not fold_bias:
+                    h = h + b_refs[li][...][:, None, :]
                 if li < n_layers - 1:
                     h = jnp.where(h >= 0, h, 0.01 * h)
             return h                                            # [P, Q, 1]
@@ -1122,15 +1143,24 @@ def fused_nnf_popsweep_solve_ft(
     # {3,5,6} hard-fault the chip backend): pad Q by duplicating the last
     # protocol row and slice the members' rows back at the end
     q = max(2, 1 << (q_req - 1).bit_length())
-    if q > 8 and not interpret:
-        # the Mosaic chip backend hard-faults (compiler Check failure
-        # 'limits[i] <= dim(i)', process coredump) lowering this kernel
-        # past 2Q=16 record sublanes — measured with a Q=16 probe in
-        # round 4; interpret mode handles any Q
+    if q > POPSWEEP_MAX_ROWS and not interpret:
+        # past 2Q=64 record sublanes the VMEM record ring shrinks below
+        # a useful block and the layout is unprobed on the chip backend
+        # (the q<=8 ceiling was a Mosaic bias-broadcast fault, bisected
+        # and fixed in round 4 via fold_bias; 16/32 are chip-verified)
         raise ValueError(
-            f"popsweep supports at most 8 protocol rows per launch on the "
-            f"chip backend (got Q={q_req}, pads to {q}); split into <=8-row "
-            f"launches — eval.simulate_population does this automatically")
+            f"popsweep supports at most {POPSWEEP_MAX_ROWS} protocol rows "
+            f"per launch on the chip backend (got Q={q_req}, pads to {q}); "
+            f"split into <={POPSWEEP_MAX_ROWS}-row launches — "
+            f"eval.simulate_population does this automatically")
+    # q > 8: per-layer bias adds ([P, 1, m] sublane broadcast onto a
+    # 2Q-sublane dot result) hard-fault the Mosaic compiler ('limits[i]
+    # <= dim(i) (2 vs. 1)', scripts/probe_mosaic_bias_fault.py); fold
+    # the biases into the matmuls as augmented ones-column rows.  Kept off
+    # for q <= 8 so the validated captures stay bit-identical (on chip
+    # the fold quantises the bias through the MXU's bf16 operand pass,
+    # a ~2^-8 relative shift on the bias contribution).
+    fold_bias = q > 8
     if q != q_req:
         protos_v = jnp.concatenate(
             [protos_v,
@@ -1157,8 +1187,14 @@ def fused_nnf_popsweep_solve_ft(
          jnp.broadcast_to(protos_v[:, -1:].astype(jnp.float32),
                           (q, n_pad - n))], axis=1)
     w_dtype = jnp.bfloat16 if mxu_bf16 else jnp.float32
-    ws = [w.astype(w_dtype) for w, _ in nets]
-    bs = [bb.astype(jnp.float32) for _, bb in nets]
+    if fold_bias:
+        ws = [jnp.concatenate(
+            [w.astype(jnp.float32), bb.astype(jnp.float32)[:, None, :]],
+            axis=1).astype(w_dtype) for w, bb in nets]
+        bs = []
+    else:
+        ws = [w.astype(w_dtype) for w, _ in nets]
+        bs = [bb.astype(jnp.float32) for _, bb in nets]
 
     # VMEM record ring: block sized so the K ring (block * 7 * 2Q * 128 f32)
     # stays well under the scoped-stack limit alongside the resident weights
@@ -1175,7 +1211,7 @@ def fused_nnf_popsweep_solve_ft(
         base_a=(tuple(float(x) for x in
                       (base_hh.p1, base_hh.p2, base_hh.p3, base_hh.p4))
                 if base_hh is not None else ()),
-        cull=cull, mxu_bf16=mxu_bf16)
+        cull=cull, mxu_bf16=mxu_bf16, fold_bias=fold_bias)
 
     rec_sc, rec_y, rec_k, n_acc, m_pack = pl.pallas_call(
         kernel,
@@ -1186,7 +1222,8 @@ def fused_nnf_popsweep_solve_ft(
             jax.ShapeDtypeStruct((1, 2), jnp.int32),
             jax.ShapeDtypeStruct((2 * q, 128), jnp.float32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + 2 * len(ws)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (
+            2 + len(ws) + len(bs)),
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),

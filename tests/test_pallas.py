@@ -247,38 +247,79 @@ def test_simulate_population_matches_family():
         assert float(jnp.max(jnp.abs(i_pop[m] - i_ref))) < 5e-3
 
 
-def test_popsweep_q_over_8_guard_and_split():
-    """The chip backend hard-faults past 2Q=16 record sublanes (round-4
-    Q=16 probe coredumped in the Mosaic compiler): the kernel must refuse
-    Q>8 with a clear error instead, and eval.simulate_population must
-    split bigger families into <=8-row launches."""
-    import pytest as _pytest
-
-    from ionflux.eval import simulate_population
-    from ionflux.models.registry import SYNTHETIC
+def test_popsweep_fold_bias_q16_parity():
+    """q > 8 launches fold the per-layer biases into the matmuls as
+    augmented ones-column weight rows (the [P, 1, m] bias-broadcast
+    sublane pattern hard-faults Mosaic past one 8-sublane tile —
+    'limits[i] <= dim(i) (2 vs. 1)', round-4 bisect).  The folded path
+    must match the unchanged q<=8 path to solver tolerance (exact-math
+    identical; f32 accumulation-order deltas walk through the adaptive
+    controller's accept decisions).  Chip-verified round 4: Q=8/16/32 ->
+    731/1555/2391 solves/s, parity 2.1e-4."""
     from ionflux.ops.pallas_solve import fused_nnf_popsweep_solve_ft
 
     p_mem = 2
     pop = jax.vmap(lambda k: nnf_init(k, HH_B06, n_layers=1,
                                       n_nodes=16))(
         jax.random.split(jax.random.PRNGKey(5), p_mem))
+    nets = [(w, b) for w, b in pop.net]
     protos = [P.activation_protocol(v, dt_ms=1.0)
-              for v in np.linspace(-40.0, 50.0, 10)]
+              for v in np.linspace(-40.0, 50.0, 12)]
+    ts = jnp.linspace(0.0, 8000.0, 81, jnp.float32)
+
+    ys16 = fused_nnf_popsweep_solve_ft(nets, HH_B06, P.stack(protos).v,
+                                       ts, proto_dt=1.0, trips=2048,
+                                       interpret=True)
+    ys_a = fused_nnf_popsweep_solve_ft(nets, HH_B06,
+                                       P.stack(protos[:8]).v, ts,
+                                       proto_dt=1.0, trips=2048,
+                                       interpret=True)
+    ys_b = fused_nnf_popsweep_solve_ft(nets, HH_B06,
+                                       P.stack(protos[8:]).v, ts,
+                                       proto_dt=1.0, trips=2048,
+                                       interpret=True)
+    ref = jnp.concatenate([ys_a, ys_b], axis=1)
+    assert bool(jnp.all(jnp.isfinite(ys16)))
+    assert float(jnp.max(jnp.abs(ys16 - ref))) < 5e-3
+
+
+def test_popsweep_q_row_guard_and_split():
+    """The kernel refuses protocol families past POPSWEEP_MAX_ROWS with a
+    clear error (the old q<=8 ceiling — a Mosaic bias-broadcast fault —
+    was bisected and fixed in round 4 via fold_bias), and
+    eval.simulate_population splits bigger families into
+    POPSWEEP_SPLIT_ROWS-row launches."""
+    import pytest as _pytest
+
+    from ionflux.eval import simulate_population
+    from ionflux.models.registry import SYNTHETIC
+    from ionflux.ops.pallas_solve import (POPSWEEP_MAX_ROWS,
+                                          POPSWEEP_SPLIT_ROWS,
+                                          fused_nnf_popsweep_solve_ft)
+
+    p_mem = 2
+    pop = jax.vmap(lambda k: nnf_init(k, HH_B06, n_layers=1,
+                                      n_nodes=16))(
+        jax.random.split(jax.random.PRNGKey(5), p_mem))
+    n_q = POPSWEEP_SPLIT_ROWS + 4
+    protos = [P.activation_protocol(v, dt_ms=1.0)
+              for v in np.linspace(-40.0, 50.0, n_q)]
     ts = jnp.linspace(0.0, 8000.0, 81, jnp.float32)
 
     # the guard raises BEFORE any lowering (so it fires on any backend)
-    stacked = P.stack(protos)
-    with _pytest.raises(ValueError, match="at most 8 protocol rows"):
+    big = P.stack([protos[0]] * (POPSWEEP_MAX_ROWS + 1))
+    with _pytest.raises(ValueError, match="at most"):
         fused_nnf_popsweep_solve_ft([(w, b) for w, b in pop.net], HH_B06,
-                                    stacked.v, ts, proto_dt=1.0, trips=256)
+                                    big.v, ts, proto_dt=1.0, trips=256)
 
-    # the split path: [P, 10, T], groups bit-identical to direct launches
+    # the split path: [P, n_q, T], groups bit-identical to direct launches
     i_pop = simulate_population("nnf", pop, protos, ts, SYNTHETIC,
                                 trips=2048, interpret=True)
-    assert i_pop.shape == (p_mem, 10, 81)
-    i_tail = simulate_population("nnf", pop, protos[8:], ts, SYNTHETIC,
-                                 trips=2048, interpret=True)
-    assert bool(jnp.all(i_pop[:, 8:] == i_tail))
+    assert i_pop.shape == (p_mem, n_q, 81)
+    i_tail = simulate_population("nnf", pop,
+                                 protos[POPSWEEP_SPLIT_ROWS:], ts,
+                                 SYNTHETIC, trips=2048, interpret=True)
+    assert bool(jnp.all(i_pop[:, POPSWEEP_SPLIT_ROWS:] == i_tail))
     assert bool(jnp.all(jnp.isfinite(i_pop)))
 
 
