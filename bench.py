@@ -352,12 +352,14 @@ def measure_pallas_sweep() -> dict:
 
 def measure_pallas_popsweep() -> dict:
     """Third metric: the fused population x protocol-sweep solve (64 member
-    nets x 16 sinewave variants = 1024 concurrent solves, one launch) — the
+    nets x 32 sinewave variants = 2048 concurrent solves, one launch) — the
     checkpoint-validation / ensemble-replay workload.  The Q protocol rows
     ride the MXU M dimension, fixing the per-member pop kernel's M=1
     batched-matmul wall (ops/pallas_solve.fused_nnf_popsweep_solve_ft).
-    Q=16 rides the round-4 fold_bias unlock (the old Q<=8 Mosaic ceiling);
-    chip-measured 2.1x the Q=8 launch at the same trip budget."""
+    Q=32 rides the round-4 fold_bias unlock (the old Q<=8 Mosaic ceiling
+    was the bias-broadcast fault, scripts/probe_mosaic_bias_fault.py);
+    chip-measured Q=8/16/32 -> 3,805/6,249/9,690 solves/s synced on this
+    aligned-boundary family at the same trip budget."""
     import jax
     import jax.numpy as jnp
 
@@ -369,7 +371,7 @@ def measure_pallas_popsweep() -> dict:
     from ionflux.models.registry import HH_B06
     from ionflux.ops.pallas_solve import fused_nnf_popsweep_solve_ft
 
-    p_mem, q = 64, 16
+    p_mem, q = 64, 32
     knots = np.linspace(0.0, 8000.0, 80001)
     # Q distinct waveforms SHARING segment boundaries (amplitude/frequency
     # scaled per row): distinct work per row without staggering the
