@@ -829,6 +829,280 @@ def fused_nnf_pop_solve_ft(
                           lane_ok=m_pack[0, :b] > 0.5)
 
 
+def _make_kernel_hh_ft(n_knots_padded: int, t0: float, dt_knot: float,
+                       t_end: float, rtol: float, atol: float, trips: int,
+                       b: int):
+    # the per-lane-PARAMS sibling of _make_kernel_pop_ft: the candidate-HH
+    # CMA-ES population (train-d0.py's PINTS parallel evaluation) with the
+    # 8 rate parameters per lane instead of MLP weights — all-VPU RHS, no
+    # matmul, same fixed-trip blocked controller with per-lane death
+    inv_dt = 1.0 / dt_knot
+    A = [[float(x) for x in row] for row in _A]
+    C = [float(x) for x in _C]
+    BS = [float(x) for x in _B_SOL]
+    BE = [float(x) for x in _B_ERR]
+
+    def kernel(v_ref, p_ref, y0_ref, *refs):
+        rec_sc, rec_y, rec_k, n_out_ref, m_out_ref = refs[:5]
+        vm_sc, vm_y, vm_k, sems = refs[5:]
+
+        def voltage(t):
+            # shared protocol: scalar V(t), broadcast across lanes
+            x = (t - t0) * inv_dt
+            ii = jnp.clip(jnp.floor(x).astype(jnp.int32), 0,
+                          n_knots_padded - 130)
+            w = x - ii.astype(jnp.float32)
+            base = pl.multiple_of((ii // 128) * 128, 128)
+            off = ii - base
+            chunk = v_ref[:, pl.ds(base, 256)]                  # [1, 256]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+            v0 = jnp.sum(jnp.where(lane == off, chunk, 0.0))
+            v1 = jnp.sum(jnp.where(lane == off + 1, chunk, 0.0))
+            return v0 + w * (v1 - v0)                           # scalar
+
+        def rhs(t, y):                                          # y [B, 2]
+            v = voltage(t)
+            p = p_ref[...]                                      # [B, 8]
+            k1 = p[:, 0] * jnp.exp(p[:, 1] * v)
+            k2 = p[:, 2] * jnp.exp(-p[:, 3] * v)
+            k3 = p[:, 4] * jnp.exp(p[:, 5] * v)
+            k4 = p[:, 6] * jnp.exp(-p[:, 7] * v)
+            dadt = k1 * (1.0 - y[:, 0]) - k2 * y[:, 0]
+            drdt = -k3 * y[:, 1] + k4 * (1.0 - y[:, 1])
+            return jnp.stack([dadt, drdt], axis=-1)
+
+        # initial state arrives packed [2, 128] (state sublanes, member
+        # lanes — _pad_bt layout) so chained sweep launches can carry the
+        # previous sweep's final state in (train-d0.py integrates the
+        # sweep concatenation as one trace)
+        y0 = jnp.transpose(y0_ref[...])[:b]                     # [B, 2]
+        f0 = rhs(jnp.float32(t0), y0)
+
+        def _pad_bt(arr):
+            at = arr.T
+            if b == 128:
+                return at
+            pad = jnp.zeros((2, 128 - b), jnp.float32)
+            return jnp.concatenate([at, pad], axis=1)
+
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)[0]
+
+        def body(i, state):
+            (t, y, f, h, n_acc, alive, t_la, h_la, y_la, ks_la,
+             _r_prev) = state
+            # per-lane death mirrors _make_kernel_pop_ft: one divergent
+            # CMA-ES candidate must not erase the generation's ranking
+            alive_b = alive > 0.5
+            h_eff = jnp.maximum(jnp.minimum(h, t_end - t), 1e-8)
+            ks = [f]
+            for si in range(1, 7):
+                yi = y
+                for sj in range(si):
+                    if A[si][sj] != 0.0:
+                        yi = yi + (h_eff * A[si][sj]) * ks[sj]
+                ks.append(rhs(t + C[si] * h_eff, yi))
+            y1 = y
+            err = jnp.zeros_like(y)
+            for sj in range(7):
+                if BS[sj] != 0.0:
+                    y1 = y1 + (h_eff * BS[sj]) * ks[sj]
+                if BE[sj] != 0.0:
+                    err = err + (h_eff * BE[sj]) * ks[sj]
+            scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
+            # sentinel-folded lane badness (popsweep controller comment)
+            r_l = jnp.sqrt(jnp.mean((err / scale) ** 2, axis=-1))    # [B]
+            r_l = r_l + (scale[:, 0] + scale[:, 1]) * 0.0
+            lane_bad = ~(r_l < jnp.float32(jnp.inf))
+            r_c = jnp.where(lane_bad, jnp.float32(3.4e38), r_l)
+            ratio = jnp.max(jnp.where(alive_b, r_c, 0.0))
+            accept = ratio <= 1.0
+            lane_pass = ~lane_bad & (r_l <= 1.0)
+            alive_b = alive_b & (lane_pass | (h_eff > 2e-7))
+            alive = alive_b.astype(jnp.float32)
+            adv = (accept & alive_b)[:, None]                      # [B, 1]
+            t_la = jnp.where(accept, t, t_la)
+            h_la = jnp.where(accept, h_eff, h_la)
+            y_la = jnp.where(accept, _pad_bt(y), y_la)
+            ks_new = jnp.stack([_pad_bt(k) for k in ks])
+            ks_la = jnp.where(accept, ks_new, ks_la)
+            sc = jnp.where(lane128 == 0, t_la,
+                           jnp.where(lane128 == 1, h_la, 0.0))
+            vm_sc[pl.ds(i, 1), :] = sc[None]
+            vm_y[pl.ds(i, 1), :, :] = y_la[None]
+            vm_k[pl.ds(i, 1), :, :, :] = ks_la[None]
+            t = jnp.where(accept, t + h_eff, t)
+            y = jnp.where(adv, y1, y)
+            f = jnp.where(adv, ks[6], f)
+            n_acc = n_acc + accept.astype(jnp.int32)
+            factor = _SAFETY * jnp.exp(
+                -0.2 * jnp.log(jnp.maximum(ratio, 1e-10)))
+            h = h_eff * jnp.clip(factor, _MINF,
+                                 jnp.where(accept, _MAXF, 1.0))
+            return (t, y, f, h, n_acc, alive, t_la, h_la, y_la, ks_la,
+                    r_c)
+
+        # lanes arriving non-finite (chained carry marks dead lanes NaN)
+        # or with a non-finite rest RHS are dead from the start
+        alive0 = (jnp.all(jnp.isfinite(y0), axis=-1)
+                  & jnp.all(jnp.isfinite(f0), axis=-1))
+        y0 = jnp.where(alive0[:, None], y0, jnp.concatenate(
+            [jnp.zeros((b, 1), jnp.float32),
+             jnp.ones((b, 1), jnp.float32)], axis=1))
+        f0 = jnp.where(alive0[:, None], f0, 0.0)
+        init = (jnp.float32(t0), y0, f0, jnp.float32(dt_knot * 10.0),
+                jnp.int32(0), alive0.astype(jnp.float32), jnp.float32(t0),
+                jnp.float32(1e-8), _pad_bt(y0), jnp.stack([_pad_bt(f0)] * 7),
+                jnp.zeros((b,), jnp.float32))
+        block = 256
+        assert trips % block == 0
+        n_blocks = trips // block
+
+        def blk_cond(state):
+            blk, st, _pend = state
+            return ((blk < n_blocks) & (st[0] < t_end)
+                    & jnp.any(st[5] > 0.5))
+
+        def blk_body(state):
+            blk, st, pend = state
+            st = jax.lax.fori_loop(0, block, lambda j, s: body(j, s), st)
+            # pace-based cull (popsweep blk_body intent, r-threshold
+            # form): the HH gates are bounded in [0, 1], so a wild CMA-ES
+            # candidate cannot blow up its STATE — it manifests as
+            # extreme stiffness that pins the SHARED controller's step
+            # and exhausts the trip budget for the whole generation.
+            # When the launch projects a shortfall, kill the lanes that
+            # are BINDING the controller — the accepted-trip ratio of the
+            # step-limiting lane equilibrates around 0.4-0.6 (safety^5)
+            # while non-binding lanes at a grinder-pinned h read f32
+            # rounding noise (~1e-9, measured in the round-4 probe), so
+            # the 0.01 threshold splits them by 7 orders; the
+            # popsweep's error-implied-step form misfires here because at
+            # a grinder-pinned h the healthy lanes' f32 error is ROUNDING
+            # NOISE (err ~ h*eps*|k|, not h^5), which under-predicts
+            # their feasible step and culled everyone (round-4 probe).
+            # The shortfall must persist across two consecutive blocks
+            # (pend) so a transiently-stiff lane at a protocol
+            # discontinuity is not falsely culled.
+            spent = ((blk + 1) * block).astype(jnp.float32)
+            frac_spent = spent / float(trips)
+            t_frac = (st[0] - t0) / (t_end - t0)
+            behind = (frac_spent >= 0.5) & (t_frac < frac_spent - 0.3)
+            cand = (behind & (st[10] > 0.01)).astype(jnp.float32)
+            alive_new = jnp.where((cand > 0.5) & (pend > 0.5), 0.0, st[5])
+            st = st[:5] + (alive_new,) + st[6:]
+            pend = cand
+            base = blk * block
+            c0 = pltpu.make_async_copy(
+                vm_sc, rec_sc.at[pl.ds(base, block)], sems.at[0])
+            c1 = pltpu.make_async_copy(
+                vm_y, rec_y.at[pl.ds(base, block)], sems.at[1])
+            c2 = pltpu.make_async_copy(
+                vm_k, rec_k.at[pl.ds(base, block)], sems.at[2])
+            c0.start()
+            c1.start()
+            c2.start()
+            c0.wait()
+            c1.wait()
+            c2.wait()
+            return blk + 1, st, pend
+
+        _blk, (t, y, f, h, n_acc, alive, *_r), _pend = jax.lax.while_loop(
+            blk_cond, blk_body,
+            (jnp.int32(0), init, jnp.zeros((b,), jnp.float32)))
+        ok = t >= t_end
+        n_out_ref[0, 0] = jnp.where(ok, n_acc, -jnp.maximum(n_acc, 1))
+        n_out_ref[0, 1] = _blk * block
+        m_out_ref[...] = _pad_bt(jnp.broadcast_to(
+            alive[:, None], (b, 2)))
+
+    return kernel
+
+
+def fused_hh_pop_solve_ft(
+    params: jnp.ndarray,            # [B, 8] per-lane HH rate parameters
+    proto_v: jnp.ndarray,           # [N] shared knot voltages
+    ts: jnp.ndarray,
+    *,
+    proto_t0: float = 0.0,
+    proto_dt: float = 0.1,
+    t_end: float | None = None,
+    rtol: float = 1e-5,
+    atol: float = 1e-7,
+    trips: int = 2048,
+    y0: jnp.ndarray | None = None,
+    interpret: bool = False,
+):
+    """Fixed-trip ADAPTIVE fused solve for a candidate-HH parameter
+    population on ONE shared protocol — the d0/r0 CMA-ES whole-trace
+    objective shape (reference: train-d0.py:427-505 evaluates each PINTS
+    member with its own scipy solve).  The adaptive controller strides
+    holds in large steps, which the fixed-step fused_hh_rk4 cannot
+    (measured round 4: the RK4 kernel pays 82,580 substeps on a Pr3 sweep
+    the adaptive lockstep crosses in ~600 accepted steps).  Divergence is
+    isolated PER MEMBER; a bad candidate scores inf alone, and a
+    controller-pinning STIFF candidate (bounded gates cannot blow up) is
+    pace-culled by the binding-ratio rule in blk_body.  y0 [B, 2] seeds
+    per-lane state so chained sweep launches carry the previous sweep's
+    final state (NaN carries propagate deadness).  Chip-measured
+    (round 4, Pr3 82,580-sample sweep, B=128): 2,732 sweep-solves/s
+    synced (46.9 ms median incl. the ~25 ms tunnel dispatch RTT; ~22 ms
+    pure kernel) vs 1,829 for the 64-lane XLA lockstep — 1.5x synced,
+    ~3x per-solve pipelined.  Returns ys [B, T, 2]."""
+    b = params.shape[0]
+    assert b <= 128, "lane padding targets one 128-lane tile"
+    n = proto_v.shape[0]
+    t_end = float(t_end) if t_end is not None else float(ts[-1])
+    n_pad = ((n + 127) // 128) * 128 + 256
+    vpad = jnp.concatenate(
+        [proto_v.astype(jnp.float32)[None],
+         jnp.broadcast_to(proto_v[-1:].astype(jnp.float32),
+                          (1, n_pad - n))], axis=1)
+    if y0 is None:
+        y0 = jnp.concatenate(
+            [jnp.zeros((b, 1), jnp.float32),
+             jnp.ones((b, 1), jnp.float32)], axis=1)
+    y0_pack = y0.astype(jnp.float32).T
+    if b < 128:
+        y0_pack = jnp.concatenate(
+            [y0_pack, jnp.zeros((2, 128 - b), jnp.float32)], axis=1)
+    trips = -(-int(trips) // 256) * 256
+
+    kernel = _make_kernel_hh_ft(
+        n_pad, float(proto_t0), float(proto_dt), t_end,
+        float(rtol), float(atol), trips, b)
+
+    rec_sc, rec_y, rec_k, n_acc, m_pack = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((trips, 128), jnp.float32),
+            jax.ShapeDtypeStruct((trips, 2, 128), jnp.float32),
+            jax.ShapeDtypeStruct((trips, 7, 2, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+            jax.ShapeDtypeStruct((2, 128), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((256, 128), jnp.float32),
+            pltpu.VMEM((256, 2, 128), jnp.float32),
+            pltpu.VMEM((256, 7, 2, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(vpad, jnp.asarray(params, jnp.float32), y0_pack)
+
+    return _dense_eval_ft(rec_sc, rec_y, rec_k, n_acc[0, 0], n_acc[0, 1],
+                          ts.astype(jnp.float32), b,
+                          lane_ok=m_pack[0, :b] > 0.5)
+
+
 # ---------------------------------------------------------------------------
 # Population x protocol-sweep variant: P member nets, EACH solved on Q
 # protocols simultaneously.  This is the checkpoint-validation / ensemble

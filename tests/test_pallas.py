@@ -606,3 +606,55 @@ def test_fused_fixed_trip_sweep_over_128_guard_and_split():
     # cross-controller comparison (65- vs 2-lane launches step differently);
     # both within solve tolerance, same bound as the adaptive-vs-xla tests
     assert float(jnp.max(jnp.abs(i_all[jnp.array([0, 129])] - i_two))) < 2e-2
+
+
+def test_fused_hh_pop_solve_adaptive():
+    """The per-lane-params adaptive HH kernel (fused_hh_pop_solve_ft —
+    the d0/r0 CMA-ES objective shape): parity vs the batched adaptive
+    oracle; a stiff candidate (bounded gates cannot blow up, so wild
+    CMA-ES params manifest as controller-pinning stiffness) is
+    pace-culled ALONE with survivors unperturbed; a NaN y0 carry keeps
+    its lane dead (chained-sweep deadness propagation).  Chip-measured
+    round 4: 2,732 sweep-solves/s at B=128 on a Pr3 sweep (1.5x the
+    64-lane lockstep synced, ~3x per-solve net of dispatch RTT)."""
+    from ionflux.models.registry import HHParams
+    from ionflux.ops.pallas_solve import fused_hh_pop_solve_ft
+    from ionflux.solver.batched import odeint_batched
+
+    proto = P.activation_protocol(20.0, dt_ms=1.0)
+    ts = jnp.linspace(0.0, 8000.0, 161, jnp.float32)
+    b = 4
+    base = np.array([float(getattr(HH_B06, f"p{i}")) for i in range(1, 9)])
+    pop = jnp.asarray(base[None] * np.exp(
+        0.1 * np.random.RandomState(0).randn(b, 8)), jnp.float32)
+
+    ys = fused_hh_pop_solve_ft(pop, proto.v, ts, proto_dt=1.0,
+                               trips=2048, interpret=True)
+
+    def rhs_pop(t, y, args):
+        xs, pr = args
+        v = P.voltage(pr, t)
+        return jax.vmap(
+            lambda p, yy: hh_rhs(HHParams(*p), t, yy, v))(xs, y)
+
+    y0 = jnp.tile(jnp.array([0.0, 1.0], jnp.float32), (b, 1))
+    ref = odeint_batched(rhs_pop, y0, ts, (pop, proto), rtol=1e-6,
+                         atol=1e-8, buffer_size=4096, max_steps=100_000)
+    assert float(jnp.max(jnp.abs(ys - ref))) < 2e-3
+
+    # stiff poison: p2 = 1.0 -> k1 ~ exp(20) at +20 mV pins the shared
+    # controller's step; the pace-cull must reap lane 1 alone
+    bad = pop.at[1, 1].set(1.0)
+    ys2 = fused_hh_pop_solve_ft(bad, proto.v, ts, proto_dt=1.0,
+                                trips=2048, interpret=True)
+    fin = jnp.isfinite(ys2).all(axis=(1, 2))
+    assert list(np.asarray(fin)) == [True, False, True, True]
+    keep = jnp.asarray([0, 2, 3])
+    assert float(jnp.max(jnp.abs(ys2[keep] - ref[keep]))) < 2e-3
+
+    # NaN y0 carry marks its lane dead at init
+    y0n = y0.at[2].set(jnp.nan)
+    ys3 = fused_hh_pop_solve_ft(pop, proto.v, ts, proto_dt=1.0,
+                                trips=2048, y0=y0n, interpret=True)
+    fin3 = jnp.isfinite(ys3).all(axis=(1, 2))
+    assert list(np.asarray(fin3)) == [True, True, False, True]
