@@ -40,6 +40,12 @@ parser.add_argument("--myokit", action="store_true",
                          "of the reference's Myokit/CVODE fast path "
                          "(train-d0.py:128-297); per-member serial like the "
                          "reference, so slower than the batched TPU path")
+parser.add_argument("--fused", action="store_true",
+                    help="route the CMA-ES objective through the adaptive "
+                         "HH-population Pallas kernel (one launch per sweep "
+                         "in a lax.scan, per-lane y0 carry) — generation "
+                         "cost independent of population size up to 128 "
+                         "lanes; TPU only")
 args = parser.parse_args()
 OUT = setup(args, "d0")
 
@@ -181,6 +187,97 @@ def make_objective(d3: np.ndarray, d5: np.ndarray, pop: int):
     return objective
 
 
+def _lattice_decomposition(n_sweeps: int, period: int):
+    """Per-sweep view of the global [::SUB] lattice on the flat
+    per-protocol axis (the reference subsamples the CONCATENATED trace,
+    train-d0.py:504-505, so when period % SUB != 0 the lattice phase
+    shifts across sweeps — Pr5).  Returns (idx [n_sweeps, n_lat] local
+    sample indices padded with repeats, mask [n_sweeps, n_lat] validity,
+    counts [n_sweeps])."""
+    n_lat = -(-period // SUB)
+    idx = np.zeros((n_sweeps, n_lat), np.int64)
+    msk = np.zeros((n_sweeps, n_lat), bool)
+    counts = []
+    for k in range(n_sweeps):
+        j0 = (-k * period) % SUB
+        jj = np.arange(j0, period, SUB)
+        idx[k, :jj.size] = jj
+        idx[k, jj.size:] = jj[-1] if jj.size else 0
+        msk[k, :jj.size] = True
+        counts.append(jj.size)
+    assert sum(counts) == len(range(0, n_sweeps * period, SUB))
+    return idx, msk, np.asarray(counts)
+
+
+def make_objective_fused(d3: np.ndarray, d5: np.ndarray, pop: int,
+                         trips: int = 2048):
+    """--fused path: the same whole-trace SSE objective through the
+    adaptive HH-population Pallas kernel (ops/pallas_solve.
+    fused_hh_pop_solve_ft) — one launch per sweep inside a lax.scan,
+    per-lane y0 carry across sweeps and across the Pr3->Pr5 boundary.
+    Chip-measured: ~2,700 sweep-solves/s at 128 lanes vs ~1,800 for the
+    lockstep (and generation cost is independent of the CMA-ES
+    population size up to 128).  A stiff candidate is pace-culled and
+    scores inf alone (the lockstep path infs it via max_steps)."""
+    from ionflux.ops.pallas_solve import fused_hh_pop_solve_ft
+
+    blocks = []
+    for name, d in (("pr3-cell5", d3), ("pr5-cell5", d5)):
+        protos, ts, n_sweeps, period = _sweep_protos(name)
+        dt = float(protos.dt[0])
+        idx, msk, counts = _lattice_decomposition(n_sweeps, period)
+        splits = np.cumsum(counts)[:-1]
+        d_rows = np.zeros(idx.shape, np.float32)
+        for k, chunk in enumerate(np.split(np.asarray(d), splits)):
+            d_rows[k, :chunk.size] = chunk
+        v_rows = np.take_along_axis(np.asarray(protos.v), idx, axis=1)
+        ts_lat = idx.astype(np.float32) * dt
+        ts_aug = np.concatenate(
+            [ts_lat, np.full((n_sweeps, 1), period * dt, np.float32)],
+            axis=1)
+        blocks.append((jnp.asarray(np.asarray(protos.v), jnp.float32),
+                       jnp.asarray(ts_aug),
+                       jnp.asarray(v_rows, jnp.float32),
+                       jnp.asarray(d_rows),
+                       jnp.asarray(msk),
+                       dt, float(period * dt)))
+
+    rg = jnp.asarray([float(x) for x in RGATE], jnp.float32)
+
+    def sse_pop(xs):
+        p8 = jnp.concatenate(
+            [xs, jnp.broadcast_to(rg[None], (pop, 4))], axis=1)
+        y = jnp.tile(jnp.array([0.0, 1.0], jnp.float32), (pop, 1))
+        acc = jnp.zeros((pop,), jnp.float32)
+        for seg_v, ts_aug, v_rows, d_rows, msk, dt, t_endf in blocks:
+            def sweep(carry, inp, dt=dt, t_endf=t_endf):
+                y, acc = carry
+                v_k, ts_k, vl_k, d_k, m_k = inp
+                ys = fused_hh_pop_solve_ft(
+                    p8, v_k, ts_k, proto_dt=dt, t_end=t_endf,
+                    trips=trips, y0=y)
+                i_sim = (ys[:, :-1, 0] * ys[:, :-1, 1]
+                         * (vl_k[None] - SYNTHETIC.e))
+                acc = acc + jnp.sum(
+                    jnp.where(m_k[None], (i_sim - d_k[None]) ** 2, 0.0),
+                    axis=1)
+                return (ys[:, -1, :], acc), 0.0
+            (y, acc), _ = jax.lax.scan(
+                sweep, (y, acc), (seg_v, ts_aug, v_rows, d_rows, msk))
+        return jnp.where(jnp.isfinite(acc), acc, jnp.inf)
+
+    batched = jax.jit(sse_pop)
+
+    def objective(xs: np.ndarray) -> np.ndarray:
+        n = xs.shape[0]
+        if n < pop:
+            xs = np.concatenate([xs, np.repeat(xs[-1:], pop - n, axis=0)])
+        return np.asarray(batched(jnp.asarray(xs, jnp.float32)),
+                          np.float64)[:n]
+
+    return objective
+
+
 def make_objective_native(d3: np.ndarray, d5: np.ndarray):
     """--myokit path: the same whole-trace SSE objective evaluated through
     the native C++ host solver (ionflux.native.csolve — the rebuild of the
@@ -232,6 +329,10 @@ def main():
     if args.myokit:
         print("--myokit: objective through the native C++ host solver")
         objective = make_objective_native(d3, d5)
+    elif args.fused:
+        print("--fused: objective through the adaptive HH-population "
+              "Pallas kernel")
+        objective = make_objective_fused(d3, d5, pop)
     else:
         objective = make_objective(d3, d5, pop)
     f0 = objective(P0[None])[0]

@@ -93,3 +93,28 @@ def test_run_study_validated_selects_best_checkpoint(tmp_path, monkeypatch):
     assert len(calls) == 6
     assert os.path.exists(os.path.join(str(tmp_path), "model.npz"))
     assert all(np.isfinite(np.asarray(w)).all() for w, _ in params.net)
+
+
+def test_d0_fused_lattice_decomposition(monkeypatch):
+    """The --fused objective's per-sweep view of the global [::10] score
+    lattice must tile the reference's flat-axis subsample exactly — the
+    phase shifts across sweeps whenever period % SUB != 0 (Pr5:
+    103224 % 10 = 4; train-d0.py:504-505 subsamples the concatenation)."""
+    import os
+    import sys as _sys
+
+    import numpy as np
+
+    scripts = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    monkeypatch.syspath_prepend(scripts)
+    monkeypatch.setattr(_sys, "argv",
+                        ["train_d0.py", "--cached", "--platform", "cpu"])
+    import train_d0 as T
+
+    for n_sweeps, period in ((7, 82580), (9, 103224), (4, 17), (2, 7)):
+        idx, msk, counts = T._lattice_decomposition(n_sweeps, period)
+        got = np.concatenate(
+            [k * period + idx[k][msk[k]] for k in range(n_sweeps)])
+        want = np.arange(0, n_sweeps * period, T.SUB)
+        assert np.array_equal(got, want), (n_sweeps, period)
+        assert counts.sum() == want.size
