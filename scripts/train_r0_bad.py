@@ -42,6 +42,10 @@ parser.add_argument("--myokit", action="store_true",
                          "of the reference's Myokit/CVODE fast path "
                          "(train-r0-bad.py:70-241); per-member serial like "
                          "the reference, so slower than the batched path")
+parser.add_argument("--fused", action="store_true",
+                    help="route the CMA-ES objective through the adaptive "
+                         "HH-population Pallas kernel (one launch per sweep "
+                         "in a lax.scan, per-lane y0 carry); TPU only")
 args = parser.parse_args()
 OUT = setup(args, "r0-bad")
 
@@ -148,6 +152,85 @@ def make_objective(meas: dict, pop: int):
     return objective
 
 
+def make_objective_fused(meas: dict, pop: int, trips: int = 2048):
+    """--fused path: the masked-lattice SSE through the adaptive
+    HH-population Pallas kernel (ops/pallas_solve.fused_hh_pop_solve_ft),
+    one launch per sweep in a lax.scan with per-lane y0 carry across
+    sweeps and across the Pr3->Pr4 boundary.  The measurement lattice is
+    irregular (capped/masked segments), so each sweep gets its own local
+    sample times padded to the block maximum with a validity mask."""
+    from ionflux.ops.pallas_solve import fused_hh_pop_solve_ft
+
+    blocks = []
+    for name in ("pr3", "pr4"):
+        protos, ts, n_sweeps, period = _sweep_protos(f"{name}-cell5")
+        dt = float(protos.dt[0])
+        tl, i_meas = meas[name]
+        idx = np.round(np.asarray(tl) / protorec.DT_MS).astype(np.int64)
+        d = np.asarray(i_meas, np.float32)
+        v_full = protorec.load_voltage(f"{name}-cell5")[0]
+        locs, drs, vrs = [], [], []
+        for k in range(n_sweeps):
+            sel = (idx >= k * period) & (idx < (k + 1) * period)
+            locs.append(idx[sel] - k * period)
+            drs.append(d[sel])
+            vrs.append(v_full[idx[sel]])
+        n_lat = max(l.size for l in locs)
+        loc_p = np.zeros((n_sweeps, n_lat), np.int64)
+        d_p = np.zeros((n_sweeps, n_lat), np.float32)
+        v_p = np.zeros((n_sweeps, n_lat), np.float32)
+        m_p = np.zeros((n_sweeps, n_lat), bool)
+        for k in range(n_sweeps):
+            n_k = locs[k].size
+            loc_p[k, :n_k] = locs[k]
+            loc_p[k, n_k:] = locs[k][-1] if n_k else 0
+            d_p[k, :n_k] = drs[k]
+            v_p[k, :n_k] = vrs[k]
+            m_p[k, :n_k] = True
+        ts_aug = np.concatenate(
+            [loc_p.astype(np.float32) * dt,
+             np.full((n_sweeps, 1), period * dt, np.float32)], axis=1)
+        blocks.append((jnp.asarray(np.asarray(protos.v), jnp.float32),
+                       jnp.asarray(ts_aug), jnp.asarray(v_p),
+                       jnp.asarray(d_p), jnp.asarray(m_p),
+                       dt, float(period * dt)))
+
+    rg = jnp.asarray(RGATE, jnp.float32)
+
+    def sse_pop(xs):
+        p8 = jnp.concatenate(
+            [xs, jnp.broadcast_to(rg[None], (pop, 4))], axis=1)
+        y = jnp.tile(jnp.array([0.0, 1.0], jnp.float32), (pop, 1))
+        acc = jnp.zeros((pop,), jnp.float32)
+        for seg_v, ts_aug, v_rows, d_rows, msk, dt, t_endf in blocks:
+            def sweep(carry, inp, dt=dt, t_endf=t_endf):
+                y, acc = carry
+                v_k, ts_k, vl_k, d_k, m_k = inp
+                ys = fused_hh_pop_solve_ft(
+                    p8, v_k, ts_k, proto_dt=dt, t_end=t_endf,
+                    trips=trips, y0=y)
+                i_sim = (G * ys[:, :-1, 0] * ys[:, :-1, 1]
+                         * (vl_k[None] - E))
+                acc = acc + jnp.sum(
+                    jnp.where(m_k[None], (i_sim - d_k[None]) ** 2, 0.0),
+                    axis=1)
+                return (ys[:, -1, :], acc), 0.0
+            (y, acc), _ = jax.lax.scan(
+                sweep, (y, acc), (seg_v, ts_aug, v_rows, d_rows, msk))
+        return jnp.where(jnp.isfinite(acc), acc, jnp.inf)
+
+    batched = jax.jit(sse_pop)
+
+    def objective(xs: np.ndarray) -> np.ndarray:
+        n = xs.shape[0]
+        if n < pop:
+            xs = np.concatenate([xs, np.repeat(xs[-1:], pop - n, axis=0)])
+        return np.asarray(batched(jnp.asarray(xs, jnp.float32)),
+                          np.float64)[:n]
+
+    return objective
+
+
 def make_objective_native(meas: dict):
     """--myokit path: the same masked-lattice SSE objective through the
     native C++ host solver (ionflux.native.csolve — the rebuild of the
@@ -220,6 +303,10 @@ def main():
     if args.myokit:
         print("--myokit: objective through the native C++ host solver")
         objective = make_objective_native(meas)
+    elif args.fused:
+        print("--fused: objective through the adaptive HH-population "
+              "Pallas kernel")
+        objective = make_objective_fused(meas, pop)
     else:
         objective = make_objective(meas, pop)
     f0 = objective(P0[None])[0]
