@@ -658,3 +658,39 @@ def test_fused_hh_pop_solve_adaptive():
                                 trips=2048, y0=y0n, interpret=True)
     fin3 = jnp.isfinite(ys3).all(axis=(1, 2))
     assert list(np.asarray(fin3)) == [True, True, False, True]
+
+
+def test_fused_hh_pop_solve_fuzz_staircases():
+    """Fuzz tier for the HH-population kernel: random 5-level staircases
+    x 20%-lognormal parameter perturbations vs the batched adaptive
+    oracle (the solver fuzz pattern of tests/test_solver.py applied to
+    the kernel)."""
+    from ionflux.models.registry import HHParams
+    from ionflux.ops.pallas_solve import fused_hh_pop_solve_ft
+    from ionflux.solver.batched import odeint_batched
+
+    base = np.array([float(getattr(HH_B06, f"p{i}")) for i in range(1, 9)])
+    for seed in range(3):
+        rng = np.random.RandomState(seed)
+        levels = rng.uniform(-100, 50, 5)
+        knots = np.repeat(levels, 400)          # 2000 ms at dt=1
+        proto = P.Protocol(jnp.float32(0.0), jnp.float32(1.0),
+                           jnp.asarray(knots, jnp.float32))
+        ts = jnp.linspace(0.0, 1990.0, 100, jnp.float32)
+        pop = jnp.asarray(base[None] * np.exp(0.2 * rng.randn(4, 8)),
+                          jnp.float32)
+        ys = fused_hh_pop_solve_ft(pop, proto.v, ts, proto_dt=1.0,
+                                   trips=1024, t_end=1990.0,
+                                   interpret=True)
+
+        def rhs_pop(t, y, args):
+            xs, pr = args
+            v = P.voltage(pr, t)
+            return jax.vmap(
+                lambda p, yy: hh_rhs(HHParams(*p), t, yy, v))(xs, y)
+
+        y0 = jnp.tile(jnp.array([0.0, 1.0], jnp.float32), (4, 1))
+        ref = odeint_batched(rhs_pop, y0, ts, (pop, proto), rtol=1e-6,
+                             atol=1e-8, buffer_size=4096,
+                             max_steps=100_000)
+        assert float(jnp.max(jnp.abs(ys - ref))) < 1e-3, seed
