@@ -761,10 +761,23 @@ def _run_measure_subprocess(backend: str, timeout_s: float):
 
 def _probe_backend(timeout_s: float):
     """Bounded TPU-backend liveness check (a dead axon tunnel hangs
-    jax.devices() indefinitely — never probe in-process)."""
+    jax.devices() indefinitely — never probe in-process).
+
+    The probe must COMPUTE, not just enumerate: one observed outage mode
+    (2026-08-19) answers the device-enumeration RPC while every compile /
+    execute call hangs, so an 'ndev'-only probe green-lights a bench run
+    that then stalls in-process with no way to time out."""
     import subprocess
 
-    code = "import jax; print('ndev', len(jax.devices()))"
+    code = (
+        "import jax;"
+        "jax.config.update('jax_compilation_cache_dir',"
+        " '/root/repo/.jax_cache');"
+        "import jax.numpy as jnp;"
+        "x = jnp.ones((128, 128));"
+        "v = float(jnp.vdot(x, x));"
+        "print('ndev', len(jax.devices()), 'val', v)"
+    )
     try:
         res = subprocess.run([sys.executable, "-c", code],
                              capture_output=True, text=True,

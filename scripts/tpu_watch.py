@@ -33,7 +33,16 @@ def log(*a):
 
 
 def probe(timeout_s: float) -> bool:
-    code = "import jax; print('ndev', len(jax.devices()))"
+    # Must COMPUTE, not just enumerate: one outage mode (2026-08-19)
+    # answers device enumeration while every compile/execute hangs.
+    code = (
+        "import jax;"
+        "jax.config.update('jax_compilation_cache_dir',"
+        f" {os.path.join(REPO, '.jax_cache')!r});"
+        "import jax.numpy as jnp;"
+        "x = jnp.ones((128, 128));"
+        "print('ndev', len(jax.devices()), 'val', float(jnp.vdot(x, x)))"
+    )
     try:
         res = subprocess.run([sys.executable, "-c", code],
                              capture_output=True, text=True,
