@@ -6,7 +6,10 @@ from ionflux.solver.vcabm import odeint_vcabm
 from ionflux.solver.adjoint import odeint_adjoint
 from ionflux.solver.batched import (odeint_batched,
                                     odeint_batched_chunked)
+from ionflux.solver.analytic import (hh_solve_analytic,
+                                     markov_solve_analytic)
 
 __all__ = ["odeint", "odeint_rk4", "odeint_chained", "odeint_adams",
            "odeint_adjoint", "odeint_batched", "odeint_vcabm",
-           "odeint_batched_chunked", "SolveStats"]
+           "odeint_batched_chunked", "SolveStats",
+           "hh_solve_analytic", "markov_solve_analytic"]

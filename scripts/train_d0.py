@@ -46,6 +46,13 @@ parser.add_argument("--fused", action="store_true",
                          "in a lax.scan, per-lane y0 carry) — generation "
                          "cost independent of population size up to 128 "
                          "lanes; TPU only")
+parser.add_argument("--analytic", action="store_true",
+                    help="route the CMA-ES objective through the EXACT "
+                         "piecewise-constant propagator (solver/analytic.py)"
+                         " — the HH candidate is linear within each "
+                         "constant-voltage segment of the recorded step "
+                         "protocols, so no ODE solve happens at all; "
+                         "fastest and most accurate path, any backend")
 args = parser.parse_args()
 OUT = setup(args, "d0")
 
@@ -278,6 +285,62 @@ def make_objective_fused(d3: np.ndarray, d5: np.ndarray, pop: int,
     return objective
 
 
+def make_objective_analytic(d3: np.ndarray, d5: np.ndarray, pop: int,
+                            ramp_subdiv: int = 4):
+    """--analytic path: the same whole-trace SSE objective through the
+    EXACT piecewise-constant propagator (ionflux.solver.analytic) — the HH
+    candidate is linear within each constant-voltage segment of the
+    recorded Pr3/Pr5 step protocols, so each sweep is one log-depth
+    ``lax.associative_scan`` over closed-form affine gate maps instead of
+    an adaptive ODE solve.  No tolerance, no trip budget, no solver
+    failure mode: gates stay in [0, 1] by construction, and the only
+    non-finite escape is a wild candidate overflowing the f32 rate
+    ``p1 e^{p2 V}`` itself (caught by the isfinite -> inf sentinel, the
+    same semantics as the solver paths).  State is carried across sweeps
+    and across the Pr3->Pr5 boundary exactly like the reference's single
+    concatenated odeint (train-d0.py:487-505)."""
+    from ionflux.solver.analytic import hh_solve_analytic
+
+    blocks = []
+    for name, d in (("pr3-cell5", d3), ("pr5-cell5", d5)):
+        protos, _ts, n_sweeps, period = _sweep_protos(name)
+        blocks.append((jnp.asarray(np.asarray(protos.v), jnp.float32),
+                       float(protos.dt[0]),
+                       jnp.asarray(d, jnp.float32), n_sweeps, period))
+
+    rg = jnp.asarray([float(x) for x in RGATE], jnp.float32)
+
+    def sse_pop(xs):
+        p8 = jnp.concatenate(
+            [xs, jnp.broadcast_to(rg[None], (pop, 4))], axis=1)
+        y = jnp.tile(jnp.array([0.0, 1.0], jnp.float32), (pop, 1))
+        acc = jnp.zeros((pop,), jnp.float32)
+        for vs, dt, d, n_sweeps, period in blocks:
+            def sweep(y, v_row, dt=dt):
+                ys = hh_solve_analytic(p8, v_row, dt, y0=y,
+                                       ramp_subdiv=ramp_subdiv)
+                i_sim = (ys[:, :-1, 0] * ys[:, :-1, 1]
+                         * (v_row[None, :-1] - SYNTHETIC.e))
+                return ys[:, -1, :], i_sim
+
+            y, i_all = jax.lax.scan(sweep, y, vs)
+            i_flat = jnp.moveaxis(i_all, 1, 0).reshape(
+                pop, n_sweeps * period)[:, ::SUB]
+            acc = acc + jnp.sum((i_flat - d[None]) ** 2, axis=1)
+        return jnp.where(jnp.isfinite(acc), acc, jnp.inf)
+
+    batched = jax.jit(sse_pop)
+
+    def objective(xs: np.ndarray) -> np.ndarray:
+        n = xs.shape[0]
+        if n < pop:
+            xs = np.concatenate([xs, np.repeat(xs[-1:], pop - n, axis=0)])
+        return np.asarray(batched(jnp.asarray(xs, jnp.float32)),
+                          np.float64)[:n]
+
+    return objective
+
+
 def make_objective_native(d3: np.ndarray, d5: np.ndarray):
     """--myokit path: the same whole-trace SSE objective evaluated through
     the native C++ host solver (ionflux.native.csolve — the rebuild of the
@@ -333,6 +396,10 @@ def main():
         print("--fused: objective through the adaptive HH-population "
               "Pallas kernel")
         objective = make_objective_fused(d3, d5, pop)
+    elif args.analytic:
+        print("--analytic: objective through the exact piecewise-constant "
+              "propagator (no ODE solve)")
+        objective = make_objective_analytic(d3, d5, pop)
     else:
         objective = make_objective(d3, d5, pop)
     f0 = objective(P0[None])[0]

@@ -1,0 +1,184 @@
+"""Exact piecewise-constant propagators (ionflux.solver.analytic).
+
+The reference integrates its linear ground truths numerically
+(train-s1.py:556-595, train-d0.py:427-439); the analytic module propagates
+them in closed form on step protocols.  Oracle: scipy solve_ivp at 1e-11
+on the reference's linear-interp voltage semantics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.integrate import solve_ivp
+
+from ionflux.models.registry import HH_B06, MARKOV_B06
+from ionflux.solver.analytic import (
+    hh_solve_analytic,
+    markov_generator,
+    markov_solve_analytic,
+)
+
+DT = 0.1
+
+
+def _staircase(seed=3, n_levels=6, knots_per=50):
+    rng = np.random.RandomState(seed)
+    levels = rng.uniform(-120, 60, n_levels)
+    return np.repeat(levels, knots_per).astype(np.float32)
+
+
+def _hh_p8():
+    return [float(getattr(HH_B06, f"p{i}")) for i in range(1, 9)]
+
+
+def _scipy_hh(v, p, y0=(0.0, 1.0)):
+    t = np.arange(v.size) * DT
+
+    def rhs(tt, y):
+        vv = np.interp(tt, t, v.astype(np.float64))
+        k1 = p[0] * np.exp(p[1] * vv)
+        k2 = p[2] * np.exp(-p[3] * vv)
+        k3 = p[4] * np.exp(p[5] * vv)
+        k4 = p[6] * np.exp(-p[7] * vv)
+        return [k1 * (1 - y[0]) - k2 * y[0], -k3 * y[1] + k4 * (1 - y[1])]
+
+    return solve_ivp(rhs, (0, t[-1]), list(y0), t_eval=t, rtol=1e-11,
+                     atol=1e-13, method="LSODA").y.T
+
+
+def test_hh_analytic_vs_scipy_oracle():
+    v = _staircase()
+    p = _hh_p8()
+    ys = np.asarray(hh_solve_analytic(
+        jnp.asarray(np.array(p, np.float32)), jnp.asarray(v), DT))
+    err = np.abs(ys - _scipy_hh(v, p)).max()
+    assert err < 5e-5, err
+
+
+def test_hh_analytic_perturbed_params_fuzz():
+    rng = np.random.RandomState(11)
+    p0 = np.array(_hh_p8())
+    for trial in range(4):
+        v = _staircase(seed=20 + trial, n_levels=5, knots_per=40)
+        p = p0 * rng.uniform(0.5, 2.0, 8)
+        ys = np.asarray(hh_solve_analytic(
+            jnp.asarray(p.astype(np.float32)), jnp.asarray(v), DT))
+        err = np.abs(ys - _scipy_hh(v, list(p))).max()
+        # 2x-perturbed exponents make the one-knot step-edge ramps much
+        # stiffer; the k=4 midpoint subdivision holds ~3e-4 there while
+        # constant segments stay exact
+        assert err < 1e-3, (trial, err)
+
+
+def test_hh_analytic_batch_matches_single():
+    v = _staircase()
+    rng = np.random.RandomState(7)
+    p8 = np.array(_hh_p8())[None] * rng.uniform(0.8, 1.25, (4, 8))
+    batched = np.asarray(hh_solve_analytic(
+        jnp.asarray(p8.astype(np.float32)), jnp.asarray(v), DT))
+    for b in range(4):
+        single = np.asarray(hh_solve_analytic(
+            jnp.asarray(p8[b].astype(np.float32)), jnp.asarray(v), DT))
+        assert np.array_equal(single, batched[b])
+
+
+def test_hh_analytic_sweep_chaining_is_exact():
+    """Splitting a protocol and carrying y0 must reproduce the unsplit
+    solve bit-for-bit at shared knots apart from f32 re-rounding — the
+    per-sweep scan in train_d0's --analytic objective relies on this."""
+    v = _staircase(n_levels=4, knots_per=60)
+    p = jnp.asarray(np.array(_hh_p8(), np.float32))
+    full = np.asarray(hh_solve_analytic(p, jnp.asarray(v), DT))
+    cut = 97  # mid-segment, not a boundary
+    first = hh_solve_analytic(p, jnp.asarray(v[:cut + 1]), DT)
+    second = hh_solve_analytic(p, jnp.asarray(v[cut:]), DT,
+                               y0=first[..., -1, :])
+    glued = np.concatenate([np.asarray(first)[:-1],
+                            np.asarray(second)], axis=0)
+    assert np.abs(glued - full).max() < 2e-6
+
+
+def test_markov_generator_columns_sum_to_zero():
+    a = np.asarray(markov_generator(MARKOV_B06, jnp.asarray(
+        np.linspace(-120, 60, 7, dtype=np.float32))))
+    assert np.abs(a.sum(axis=-2)).max() < 1e-6  # f32 rounding floor
+
+
+def test_markov_analytic_vs_scipy_oracle_and_conservation():
+    v = _staircase()
+    t = np.arange(v.size) * DT
+    pm = [float(getattr(MARKOV_B06, f"p{i}")) for i in range(1, 13)]
+
+    def rhs(tt, y):
+        vv = np.interp(tt, t, v.astype(np.float64))
+        a1 = pm[0] * np.exp(pm[1] * vv)
+        b1 = pm[2] * np.exp(-pm[3] * vv)
+        bh = pm[4] * np.exp(pm[5] * vv)
+        ah = pm[6] * np.exp(-pm[7] * vv)
+        a2 = pm[8] * np.exp(pm[9] * vv)
+        b2 = pm[10] * np.exp(-pm[11] * vv)
+        c1, c2, i, ic1, ic2, o = y
+        return [a1 * c2 + ah * ic1 + b2 * o - (b1 + bh + a2) * c1,
+                b1 * c1 + ah * ic2 - (a1 + bh) * c2,
+                a2 * ic1 + bh * o - (b2 + ah) * i,
+                a1 * ic2 + bh * c1 + b2 * i - (b1 + ah + a2) * ic1,
+                b1 * ic1 + bh * c2 - (ah + a1) * ic2,
+                a2 * c1 + ah * i - (b2 + bh) * o]
+
+    oracle = solve_ivp(rhs, (0, t[-1]), [0, 1, 0, 0, 0, 0], t_eval=t,
+                       rtol=1e-11, atol=1e-13, method="LSODA").y.T
+    ys = np.asarray(markov_solve_analytic(MARKOV_B06, jnp.asarray(v), DT))
+    assert np.abs(ys - oracle).max() < 1e-4
+    assert np.abs(ys.sum(-1) - 1.0).max() < 1e-4
+
+
+def test_analytic_objective_matches_lockstep_on_short_staircase():
+    """Mini version of train_d0's SSE objective: the analytic path must
+    agree with the adaptive lockstep solve within the solver's own
+    tolerance-limited accuracy (the full-protocol f0 gap is ~0.7%,
+    attributable to the lockstep's rtol=1e-5 f32 error — certified
+    against the 1e-11 scipy oracle above)."""
+    from ionflux import protocols as P
+    from ionflux.solver import odeint_batched
+
+    v = _staircase(seed=5, n_levels=5, knots_per=80)
+    ts = jnp.arange(v.size, dtype=jnp.float32) * jnp.float32(DT)
+    proto = P.Protocol(jnp.asarray(0.0, jnp.float32),
+                       jnp.asarray(DT, jnp.float32), jnp.asarray(v))
+    rng = np.random.RandomState(0)
+    p8 = np.array(_hh_p8())[None] * rng.uniform(0.9, 1.1, (3, 8))
+    p8 = jnp.asarray(p8.astype(np.float32))
+
+    def rhs(t, y, args):
+        ps, pr = args
+        vv = P.voltage(pr, t)
+        k1 = ps[:, 0] * jnp.exp(ps[:, 1] * vv)
+        k2 = ps[:, 2] * jnp.exp(-ps[:, 3] * vv)
+        k3 = ps[:, 4] * jnp.exp(ps[:, 5] * vv)
+        k4 = ps[:, 6] * jnp.exp(-ps[:, 7] * vv)
+        return jnp.stack([k1 * (1 - y[:, 0]) - k2 * y[:, 0],
+                          -k3 * y[:, 1] + k4 * (1 - y[:, 1])], axis=-1)
+
+    y0 = jnp.tile(jnp.array([0.0, 1.0], jnp.float32), (3, 1))
+    ys_num = np.asarray(odeint_batched(rhs, y0, ts, (p8, proto),
+                                       rtol=1e-6, atol=1e-8,
+                                       buffer_size=4096, max_steps=100_000))
+    ys_ana = np.asarray(hh_solve_analytic(p8, jnp.asarray(v), DT))
+    e_rev = -88.4
+    i_num = ys_num[..., 0] * ys_num[..., 1] * (np.asarray(v)[None] - e_rev)
+    i_ana = ys_ana[..., 0] * ys_ana[..., 1] * (np.asarray(v)[None] - e_rev)
+    sse_num = (i_num ** 2).sum(axis=1)
+    sse_ana = (i_ana ** 2).sum(axis=1)
+    assert np.abs(sse_num / sse_ana - 1.0).max() < 2e-3
+    assert np.abs(i_num - i_ana).max() < 2e-2
+
+
+def test_hh_analytic_wild_candidate_overflows_to_nonfinite_not_hang():
+    """A CMA-ES candidate at the 10x bound can overflow the f32 rate
+    p1*e^{p2 V}; the propagator must yield non-finite states (the
+    objective's isfinite->inf sentinel), never raise or hang."""
+    v = _staircase()
+    p = np.array(_hh_p8(), np.float32)
+    p[1] *= 30.0  # e^{3.5*60} overflows f32
+    ys = np.asarray(hh_solve_analytic(jnp.asarray(p), jnp.asarray(v), DT))
+    assert not np.isfinite(ys).all()
