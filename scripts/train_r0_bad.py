@@ -46,6 +46,11 @@ parser.add_argument("--fused", action="store_true",
                     help="route the CMA-ES objective through the adaptive "
                          "HH-population Pallas kernel (one launch per sweep "
                          "in a lax.scan, per-lane y0 carry); TPU only")
+parser.add_argument("--analytic", action="store_true",
+                    help="route the CMA-ES objective through the EXACT "
+                         "piecewise-constant propagator (solver/analytic.py)"
+                         " — Pr3/Pr4 are step protocols, so no ODE solve "
+                         "happens at all; any backend")
 args = parser.parse_args()
 OUT = setup(args, "r0-bad")
 
@@ -135,6 +140,57 @@ def make_objective(meas: dict, pop: int):
 
             (y, _), ys = jax.lax.scan(sweep, (y, 0.0), protos)
             # ys [n_sweeps, pop, period, 2] -> [pop, n_sweeps*period, 2]
+            ys = jnp.moveaxis(ys, 1, 0).reshape(pop, n_sweeps * period, 2)
+            i_sim = G * ys[:, :, 0] * ys[:, :, 1] * (v_full[None] - E)
+            acc = acc + jnp.sum((i_sim[:, idx] - d[None]) ** 2, axis=1)
+        return jnp.where(jnp.isfinite(acc), acc, jnp.inf)
+
+    batched = jax.jit(sse_pop)
+
+    def objective(xs: np.ndarray) -> np.ndarray:
+        n = xs.shape[0]
+        if n < pop:
+            xs = np.concatenate([xs, np.repeat(xs[-1:], pop - n, axis=0)])
+        return np.asarray(batched(jnp.asarray(xs, jnp.float32)),
+                          np.float64)[:n]
+
+    return objective
+
+
+def make_objective_analytic(meas: dict, pop: int, ramp_subdiv: int = 4):
+    """--analytic path: the masked-lattice SSE through the EXACT
+    piecewise-constant propagator (ionflux.solver.analytic) — Pr3/Pr4 are
+    step protocols, so each sweep is one log-depth associative scan of
+    closed-form affine gate maps instead of an adaptive ODE solve (see
+    train_d0.make_objective_analytic for the accuracy story)."""
+    from ionflux.solver.analytic import hh_solve_analytic
+
+    blocks = []
+    for name in ("pr3", "pr4"):
+        protos, _ts, n_sweeps, period = _sweep_protos(f"{name}-cell5")
+        tl, i_meas = meas[name]
+        idx = np.round(np.asarray(tl) / protorec.DT_MS).astype(np.int64)
+        v_full = jnp.asarray(protorec.load_voltage(f"{name}-cell5")[0],
+                             jnp.float32)
+        blocks.append((jnp.asarray(np.asarray(protos.v), jnp.float32),
+                       float(protos.dt[0]), n_sweeps, period, v_full,
+                       jnp.asarray(idx),
+                       jnp.asarray(np.asarray(i_meas), jnp.float32)))
+
+    rg = jnp.asarray(RGATE, jnp.float32)
+
+    def sse_pop(xs):
+        p8 = jnp.concatenate(
+            [xs, jnp.broadcast_to(rg[None], (pop, 4))], axis=1)
+        y = jnp.tile(jnp.array([0.0, 1.0], jnp.float32), (pop, 1))
+        acc = jnp.zeros((pop,), jnp.float32)
+        for vs, dt, n_sweeps, period, v_full, idx, d in blocks:
+            def sweep(y, v_row, dt=dt):
+                ys = hh_solve_analytic(p8, v_row, dt, y0=y,
+                                       ramp_subdiv=ramp_subdiv)
+                return ys[:, -1, :], ys[:, :-1, :]
+
+            y, ys = jax.lax.scan(sweep, y, vs)
             ys = jnp.moveaxis(ys, 1, 0).reshape(pop, n_sweeps * period, 2)
             i_sim = G * ys[:, :, 0] * ys[:, :, 1] * (v_full[None] - E)
             acc = acc + jnp.sum((i_sim[:, idx] - d[None]) ** 2, axis=1)
@@ -307,6 +363,10 @@ def main():
         print("--fused: objective through the adaptive HH-population "
               "Pallas kernel")
         objective = make_objective_fused(meas, pop)
+    elif args.analytic:
+        print("--analytic: objective through the exact piecewise-constant "
+              "propagator (no ODE solve)")
+        objective = make_objective_analytic(meas, pop)
     else:
         objective = make_objective(meas, pop)
     f0 = objective(P0[None])[0]
