@@ -860,7 +860,9 @@ def main():
     probe_ok = False
     n_probe = 0
     while remaining() > cpu_reserve + 120.0:
-        tmo = min(90.0, max(30.0, remaining() - cpu_reserve - 120.0))
+        # 150 s cap: under the 2026-08-19 half-dead tunnel the compute
+        # probe needs 90-120 s (jax import + axon init + cached exec)
+        tmo = min(150.0, max(30.0, remaining() - cpu_reserve - 120.0))
         t_probe = time.monotonic()
         probe_ok, err = _probe_backend(tmo)
         probe_s = time.monotonic() - t_probe
