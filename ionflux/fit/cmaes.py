@@ -155,6 +155,159 @@ def cmaes(
                        evaluations=evals, history=history)
 
 
+def cmaes_onchip(
+    objective_fn: Callable,
+    x0: np.ndarray,
+    sigma0: np.ndarray | float,
+    bounds: tuple[np.ndarray, np.ndarray] | None = None,
+    popsize: int | None = None,
+    max_iterations: int = 2000,
+    max_unchanged_iterations: int = 100,
+    unchanged_threshold: float = 1e-3,
+    log_transform: bool = True,
+    seed: int = 0,
+) -> CMAESResult:
+    """The whole CMA-ES fit as ONE jitted ``lax.while_loop`` on device.
+
+    The host-side :func:`cmaes` above syncs the loss vector back every
+    generation — over the remote-TPU tunnel that is a ~25 ms dispatch round
+    trip per iteration, which dominates a converged d0 fit (347 iters ≈ 9 s
+    of pure RTT against ~5 ms/generation of analytic-objective compute).
+    This variant keeps the ask/tell covariance machinery on device too, so
+    a complete fit is a single launch: zero host round trips between
+    generations, one transfer at the end.
+
+    ``objective_fn`` must be jittable: (xs [lam, n] f32, ORIGINAL space) ->
+    [lam] f32 losses (inf for diverged candidates — e.g. the isfinite
+    sentinel of scripts/train_d0.py make_objective_analytic).  All strategy
+    constants, the update order, and the unchanged-iterations stopping rule
+    mirror :func:`cmaes` line for line (Hansen 2016 tutorial defaults; the
+    reference's controller semantics, train-d0.py:507-540) — the only
+    deltas are f32 arithmetic and JAX's threefry RNG in place of numpy's
+    PCG64, so runs agree statistically, not bit-for-bit.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    x0 = np.asarray(x0, np.float64)
+    n = x0.size
+    lam = popsize or _default_popsize(n)
+    mu = lam // 2
+    w_np = np.log(lam / 2 + 0.5) - np.log(np.arange(1, mu + 1))
+    w_np /= w_np.sum()
+    mueff = float(1.0 / np.sum(w_np ** 2))
+
+    cc = (4 + mueff / n) / (n + 4 + 2 * mueff / n)
+    cs = (mueff + 2) / (n + mueff + 5)
+    c1 = 2 / ((n + 1.3) ** 2 + mueff)
+    cmu = min(1 - c1, 2 * (mueff - 2 + 1 / mueff) / ((n + 2) ** 2 + mueff))
+    damps = float(1 + 2 * max(0.0, np.sqrt((mueff - 1) / (n + 1)) - 1) + cs)
+    chi_n = float(np.sqrt(n) * (1 - 1 / (4 * n) + 1 / (21 * n ** 2)))
+
+    sigma0 = np.asarray(sigma0, np.float64) * np.ones(n)
+    if log_transform:
+        if np.any(x0 <= 0):
+            raise ValueError("log_transform requires positive x0")
+        m0 = np.log(x0)
+        sig_init = float(np.mean(sigma0 / x0))
+        scale = None
+    else:
+        scale = np.where(sigma0 > 0, sigma0, 1.0)
+        m0 = x0 / scale
+        sig_init = 1.0
+
+    if bounds is not None:
+        lo_np, hi_np = (np.asarray(b, np.float64) for b in bounds)
+        lo_t = np.log(lo_np) if log_transform else lo_np / scale
+        hi_t = np.log(hi_np) if log_transform else hi_np / scale
+    else:
+        lo_t = hi_t = None
+
+    f32 = jnp.float32
+    w = jnp.asarray(w_np, f32)
+    scale_j = None if scale is None else jnp.asarray(scale, f32)
+
+    def from_t(xs_t):
+        return jnp.exp(xs_t) if log_transform else xs_t * scale_j
+
+    def step(carry):
+        (key, m, sigma, cov, p_c, p_s, best_x, best_f, unchanged, it) = carry
+        it = it + 1
+        d2, b_mat = jnp.linalg.eigh(cov)
+        d = jnp.sqrt(jnp.maximum(d2, 1e-20))
+        inv_sqrt_c = (b_mat * (1.0 / d)[None, :]) @ b_mat.T
+
+        key, k_z = jax.random.split(key)
+        z = jax.random.normal(k_z, (lam, n), f32)
+        y = (z * d[None, :]) @ b_mat.T
+        xs_t = m[None, :] + sigma * y
+        if lo_t is not None:
+            xs_t = jnp.clip(xs_t, jnp.asarray(lo_t, f32),
+                            jnp.asarray(hi_t, f32))
+            y = (xs_t - m[None, :]) / sigma
+        xs = from_t(xs_t)
+
+        fs = objective_fn(xs).reshape(lam)
+        fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
+
+        order = jnp.argsort(fs)
+        f_min = fs[order[0]]
+        improved = (best_f - f_min) > unchanged_threshold
+        best_x = jnp.where(f_min < best_f, xs[order[0]], best_x)
+        best_f = jnp.minimum(best_f, f_min)
+        unchanged = jnp.where(improved, 0, unchanged + 1)
+
+        y_mu = y[order[:mu]]
+        y_w = w @ y_mu
+        m = m + sigma * y_w
+
+        # python-float constants only: a stray numpy f64 scalar would
+        # promote the f32 carry under jax_enable_x64
+        p_s = ((1 - cs) * p_s
+               + float(np.sqrt(cs * (2 - cs) * mueff))
+               * (inv_sqrt_c @ y_w))
+        norm_ps = jnp.linalg.norm(p_s)
+        denom = jnp.sqrt(1 - jnp.power(f32(1 - cs), 2 * it.astype(f32)))
+        h_sig = ((norm_ps / denom / chi_n) < (1.4 + 2 / (n + 1))).astype(f32)
+        p_c = ((1 - cc) * p_c
+               + h_sig * float(np.sqrt(cc * (2 - cc) * mueff)) * y_w)
+
+        cov = ((1 - c1 - cmu) * cov
+               + c1 * (jnp.outer(p_c, p_c)
+                       + (1 - h_sig) * cc * (2 - cc) * cov)
+               + cmu * (y_mu.T * w[None, :]) @ y_mu)
+        sigma = sigma * jnp.exp((cs / damps) * (norm_ps / chi_n - 1))
+        sigma = jnp.clip(sigma, 1e-12, 1e6)
+        return (key, m, sigma, cov, p_c, p_s, best_x, best_f, unchanged, it)
+
+    def cond(carry):
+        unchanged, it = carry[-2], carry[-1]
+        return jnp.logical_and(it < max_iterations,
+                               unchanged < max_unchanged_iterations)
+
+    @jax.jit
+    def run(key):
+        carry = (key,
+                 jnp.asarray(m0, f32),
+                 f32(sig_init),
+                 jnp.eye(n, dtype=f32),
+                 jnp.zeros(n, f32),
+                 jnp.zeros(n, f32),
+                 jnp.asarray(x0, f32),
+                 f32(jnp.inf),
+                 jnp.asarray(0, jnp.int32),
+                 jnp.asarray(0, jnp.int32))
+        out = lax.while_loop(cond, step, carry)
+        return out[6], out[7], out[9]
+
+    best_x, best_f, it = run(jax.random.PRNGKey(seed))
+    it = int(it)
+    return CMAESResult(x=np.asarray(best_x, np.float64),
+                       fx=float(best_f), iterations=it,
+                       evaluations=it * lam)
+
+
 def shard_objective(mesh, per_member_fn: Callable | None = None,
                     popsize: int = 0, n_params: int = 0,
                     batch_fn: Callable | None = None):

@@ -59,9 +59,36 @@ def _affine_combine(a, b):
     return aa * ab, ba * ab + bb
 
 
+def _expm1_accurate(x: jnp.ndarray) -> jnp.ndarray:
+    """expm1 to ~1 ulp on every backend.
+
+    The TPU VPU's f32 transcendentals are approximate: ``jnp.exp`` carries
+    up to ~3.4e-6 relative error and ``jnp.expm1`` up to ~1.1e-4 in the
+    mid-range (chip-measured, round 4).  That is fatal here twice over:
+    ``1 - exp(-s dt)`` amplifies the error by 1/(s dt) through
+    cancellation (7.8% on beta at s dt = 2.3e-5), and alpha's CORRELATED
+    per-interval error compounds linearly over the ~1e5 equal intervals of
+    a constant segment (exp(1e5 * 2e-6) ≈ 20% trajectory drift — the bug
+    this function fixes).  For |x| < 0.5 an 8-term Horner series is exact
+    to ~1e-8 relative in exact arithmetic (f32 rounding dominates); beyond
+    that exp(x)-1 has no cancellation and the hardware exp's 3e-6 is fine
+    (and such fast segments forget their transient in a handful of
+    intervals anyway)."""
+    xs = jnp.where(jnp.abs(x) < 0.5, x, 0.0)
+    series = xs
+    for k in range(8, 1, -1):
+        series = xs * (1.0 + series / k)
+    return jnp.where(jnp.abs(x) < 0.5, series, jnp.exp(x) - 1.0)
+
+
 def _hh_interval_maps(p8: jnp.ndarray, vmid: jnp.ndarray, dt):
     """Affine maps (alpha, beta) ``[..., N-1, 2]`` of one constant-voltage
-    sub-interval of length ``dt`` at voltages ``vmid [N-1]``."""
+    sub-interval of length ``dt`` at voltages ``vmid [N-1]``.
+
+    alpha/beta go through :func:`_expm1_accurate` — NOT the hardware
+    ``exp`` — so that alpha = 1 + em1 is biased by at most one f32
+    rounding and beta = -xinf * em1 never suffers the 1-alpha
+    cancellation."""
     shp = p8.shape[:-1]
     pe = p8.reshape(shp + (1, 8))  # broadcast params over intervals
     k1 = pe[..., 0] * jnp.exp(pe[..., 1] * vmid)
@@ -70,8 +97,9 @@ def _hh_interval_maps(p8: jnp.ndarray, vmid: jnp.ndarray, dt):
     k4 = pe[..., 6] * jnp.exp(-pe[..., 7] * vmid)
     s = jnp.stack([k1 + k2, k3 + k4], axis=-1)          # [..., N-1, 2]
     xinf = jnp.stack([k1, k4], axis=-1) / s
-    alpha = jnp.exp(-s * jnp.asarray(dt, s.dtype))
-    beta = xinf * (1.0 - alpha)
+    em1 = _expm1_accurate(-s * jnp.asarray(dt, s.dtype))
+    alpha = 1.0 + em1
+    beta = -xinf * em1
     return alpha, beta
 
 

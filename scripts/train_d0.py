@@ -53,6 +53,13 @@ parser.add_argument("--analytic", action="store_true",
                          "constant-voltage segment of the recorded step "
                          "protocols, so no ODE solve happens at all; "
                          "fastest and most accurate path, any backend")
+parser.add_argument("--onchip", action="store_true",
+                    help="run the ENTIRE CMA-ES fit as one jitted "
+                         "lax.while_loop on device (fit.cmaes.cmaes_onchip)"
+                         " over the --analytic objective — zero host round "
+                         "trips between generations (the remote tunnel's "
+                         "~25 ms dispatch RTT otherwise dominates a "
+                         "converged fit)")
 args = parser.parse_args()
 OUT = setup(args, "d0")
 
@@ -62,7 +69,7 @@ import numpy as np  # noqa: E402
 
 from ionflux import protocols as P  # noqa: E402
 from ionflux import protorec  # noqa: E402
-from ionflux.fit.cmaes import cmaes  # noqa: E402
+from ionflux.fit.cmaes import cmaes, cmaes_onchip  # noqa: E402
 from ionflux.models import markov_rhs, MARKOV_Y0_REST  # noqa: E402
 from ionflux.models.registry import (  # noqa: E402
     HH_B06,
@@ -338,6 +345,7 @@ def make_objective_analytic(d3: np.ndarray, d5: np.ndarray, pop: int,
         return np.asarray(batched(jnp.asarray(xs, jnp.float32)),
                           np.float64)[:n]
 
+    objective.device_fn = sse_pop  # jittable [pop, 4] -> [pop] (--onchip)
     return objective
 
 
@@ -396,7 +404,7 @@ def main():
         print("--fused: objective through the adaptive HH-population "
               "Pallas kernel")
         objective = make_objective_fused(d3, d5, pop)
-    elif args.analytic:
+    elif args.analytic or args.onchip:
         print("--analytic: objective through the exact piecewise-constant "
               "propagator (no ODE solve)")
         objective = make_objective_analytic(d3, d5, pop)
@@ -408,11 +416,24 @@ def main():
     if args.debug:
         return
 
-    res = cmaes(
-        objective, P0, sigma0=P0 * 0.1, bounds=(P0 * 0.1, P0 * 10.0),
-        max_unchanged_iterations=100, unchanged_threshold=1e-3,
-        verbose=True,
-    )
+    if args.onchip:
+        print("--onchip: whole CMA-ES loop as one jitted lax.while_loop "
+              "(zero per-generation host round trips)")
+        import time as _time
+        t0 = _time.perf_counter()
+        res = cmaes_onchip(
+            objective.device_fn, P0, sigma0=P0 * 0.1,
+            bounds=(P0 * 0.1, P0 * 10.0),
+            max_unchanged_iterations=100, unchanged_threshold=1e-3,
+        )
+        print(f"on-chip fit wall time {_time.perf_counter() - t0:.2f} s "
+              "(incl. compile)")
+    else:
+        res = cmaes(
+            objective, P0, sigma0=P0 * 0.1, bounds=(P0 * 0.1, P0 * 10.0),
+            max_unchanged_iterations=100, unchanged_threshold=1e-3,
+            verbose=True,
+        )
     print(f"CMA-ES done: {res.iterations} iters, {res.evaluations} evals, "
           f"best SSE {res.fx:.6f}")
     print("found parameters:", res.x)

@@ -46,6 +46,25 @@ def _scipy_hh(v, p, y0=(0.0, 1.0)):
                      atol=1e-13, method="LSODA").y.T
 
 
+def test_expm1_accurate_one_ulp():
+    # _hh_interval_maps must NOT go through the hardware exp: the TPU VPU's
+    # f32 exp carries ~3e-6 relative error whose correlated per-interval
+    # bias compounds ~20% over a long constant segment, and 1-exp(-x)
+    # amplifies it by 1/x through cancellation (chip-measured, round 4).
+    # The custom series/exp split must be ~1 ulp across the s*dt range.
+    from ionflux.solver.analytic import _expm1_accurate
+
+    x = -np.logspace(-7, 1, 400).astype(np.float32)
+    got = np.asarray(jax.jit(_expm1_accurate)(jnp.asarray(x)), np.float64)
+    ref = np.expm1(x.astype(np.float64))
+    rel = np.abs(got - ref) / np.abs(ref)
+    assert rel.max() < 5e-7, rel.max()
+    # non-finite escapes for wild CMA-ES candidates stay non-finite
+    bad = np.asarray(_expm1_accurate(jnp.asarray(
+        np.array([-np.inf, np.nan], np.float32))))
+    assert bad[0] == -1.0 and np.isnan(bad[1])
+
+
 def test_hh_analytic_vs_scipy_oracle():
     v = _staircase()
     p = _hh_p8()

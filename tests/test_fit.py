@@ -43,6 +43,43 @@ def test_cmaes_respects_bounds_and_inf():
     np.testing.assert_allclose(res.x, [1.0, 1.0], atol=0.05)
 
 
+def test_cmaes_onchip_converges_log_space():
+    # the one-launch device loop must land where the host loop lands
+    # (statistically — different RNGs), on the same d0-shaped log-space
+    # objective with bounds
+    from ionflux.fit.cmaes import cmaes_onchip
+
+    opt = np.array([3e-4, 5e-2, 1e-5, 7e-2])
+
+    def batch(xs):
+        return jnp.sum((jnp.log(xs) - jnp.log(jnp.asarray(opt,
+                        jnp.float32))) ** 2, axis=1)
+
+    res = cmaes_onchip(batch, opt * 3.0, 0.1 * opt * 3.0,
+                       bounds=(opt * 0.01, opt * 100.0), seed=1)
+    np.testing.assert_allclose(res.x, opt, rtol=1e-3)
+    assert res.iterations < 2000  # stopped on the unchanged rule
+    assert res.evaluations == res.iterations * 8
+
+
+def test_cmaes_onchip_inf_sentinels_and_bounds():
+    # inf losses (diverged candidates) must be rejected by ranking, and the
+    # rectangular boundaries must hold inside the jitted loop
+    from ionflux.fit.cmaes import cmaes_onchip
+
+    opt = jnp.array([1.0, 1.0], jnp.float32)
+    lo, hi = np.array([0.5, 0.5]), np.array([4.0, 4.0])
+
+    def batch(xs):
+        out = jnp.sum((xs - opt) ** 2, axis=1)
+        return jnp.where(xs[:, 0] > 2.0, jnp.inf, out)
+
+    res = cmaes_onchip(batch, np.array([1.5, 1.5]), 0.3, bounds=(lo, hi),
+                       seed=0, max_iterations=200)
+    np.testing.assert_allclose(res.x, [1.0, 1.0], atol=0.05)
+    assert np.all(res.x >= lo) and np.all(res.x <= hi)
+
+
 def test_fmin_wrapper():
     x, fx = fmin(lambda z: float((z[0] - 2) ** 2 + (z[1] + 1) ** 2),
                  np.array([0.0, 0.0]), max_iter=300)

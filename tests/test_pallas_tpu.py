@@ -190,6 +190,45 @@ def test_fused_popsweep_mosaic_runs():
     assert np.isfinite(i_pop).all()
 
 
+def test_hh_analytic_chip_matches_host_oracle():
+    # round-4 regression: the chip's approximate f32 exp (~3e-6 rel) biased
+    # alpha by ~20% over long constant segments and 1-exp(-x) lost 7.8% to
+    # cancellation, which moved the --analytic/--onchip d0 optimum by 2.2x
+    # on p1.  The expm1-series interval maps must make the CHIP trajectory
+    # match a float64 host oracle of the same piecewise-exact recurrence.
+    from ionflux.solver.analytic import hh_solve_analytic
+
+    rng = np.random.RandomState(5)
+    levels = rng.uniform(-120, 60, 6)
+    v = np.repeat(levels, 5000).astype(np.float32)  # long segments
+    p = np.array([float(getattr(HH_B06, f"p{i}")) for i in range(1, 9)])
+    with jax.default_device(tpu()):
+        ys = np.asarray(hh_solve_analytic(
+            jnp.asarray(p, jnp.float32), jnp.asarray(v), 0.1))
+    # f64 oracle: exact per-interval affine recurrence on the same
+    # midpoint-subdivided lattice (ramp_subdiv=4)
+    w = (np.arange(4) + 0.5) / 4
+    vsub = v[None, :-1] + w[:, None] * (v[1:] - v[:-1])[None]
+    y = np.array([0.0, 1.0])
+    out = [y]
+    k = [None] * 4
+    for i in range(v.size - 1):
+        for j in range(4):
+            vv = float(vsub[j, i])
+            k[0] = p[0] * np.exp(p[1] * vv)
+            k[1] = p[2] * np.exp(-p[3] * vv)
+            k[2] = p[4] * np.exp(p[5] * vv)
+            k[3] = p[6] * np.exp(-p[7] * vv)
+            s = np.array([k[0] + k[1], k[2] + k[3]])
+            xinf = np.array([k[0], k[3]]) / s
+            al = np.exp(-s * 0.025)
+            y = al * y + xinf * (1 - al)
+        out.append(y)
+    oracle = np.array(out)
+    err = np.abs(ys - oracle).max()
+    assert err < 2e-4, err
+
+
 def test_popsweep_lane_death_mosaic():
     """Per-lane death through real Mosaic (the sentinel-ratio controller):
     a divergent member's rows land inf, survivors match the clean launch."""
