@@ -166,16 +166,31 @@ def cmaes_onchip(
     unchanged_threshold: float = 1e-3,
     log_transform: bool = True,
     seed: int = 0,
+    sync_every: int = 8,
 ) -> CMAESResult:
-    """The whole CMA-ES fit as ONE jitted ``lax.while_loop`` on device.
+    """Device-resident CMA-ES: the fit runs as jitted ``lax.scan`` chunks of
+    ``sync_every`` generations, dispatched with one chunk of lookahead so the
+    host stopping-rule fetch overlaps the next chunk's device execution.
 
-    The host-side :func:`cmaes` above syncs the loss vector back every
-    generation — over the remote-TPU tunnel that is a ~25 ms dispatch round
-    trip per iteration, which dominates a converged d0 fit (347 iters ≈ 9 s
-    of pure RTT against ~5 ms/generation of analytic-objective compute).
-    This variant keeps the ask/tell covariance machinery on device too, so
-    a complete fit is a single launch: zero host round trips between
-    generations, one transfer at the end.
+    Why this shape (all chip-measured, round 4, d0 analytic objective at
+    pop 8): the host-side :func:`cmaes` above syncs the loss vector back
+    every generation — ~24 ms of remote-tunnel RTT on top of the 65 ms
+    device objective (~94 ms/gen all-in).  A single giant
+    ``lax.while_loop`` launch eliminates the RTT but XLA compiles the
+    objective's ``associative_scan`` ~3.5x SLOWER inside a while body
+    (226 ms/gen marginal) — while bodies lose the buffer
+    aliasing/pipelining the standalone jit gets.  The same step body inside
+    ``lax.scan`` chunks runs at the pure-device floor (63 ms/gen
+    marginal), and lookahead dispatch hides the per-chunk fetch.  Measured
+    end-to-end on the warm chip (scripts/measure_onchip_cmaes.py,
+    out/d0-onchip/fit-paths-tpu.jsonl): the full d0 fit runs at 72 ms/gen
+    vs the host loop's 92 — 1.27x; the ~9 ms/gen above the floor is the
+    frozen lookahead tail plus the per-chunk stop-scalar fetches.
+
+    Stopping semantics: each in-chunk step freezes the carry once the
+    max-iterations or unchanged-iterations rule fires, so the REPORTED
+    iteration count is exact; up to ``2 * sync_every`` generations of
+    frozen device work run past the stopping point (harmless, unobserved).
 
     ``objective_fn`` must be jittable: (xs [lam, n] f32, ORIGINAL space) ->
     [lam] f32 losses (inf for diverged candidates — e.g. the isfinite
@@ -281,28 +296,57 @@ def cmaes_onchip(
         sigma = jnp.clip(sigma, 1e-12, 1e6)
         return (key, m, sigma, cov, p_c, p_s, best_x, best_f, unchanged, it)
 
-    def cond(carry):
-        unchanged, it = carry[-2], carry[-1]
-        return jnp.logical_and(it < max_iterations,
-                               unchanged < max_unchanged_iterations)
-
     @jax.jit
-    def run(key):
-        carry = (key,
-                 jnp.asarray(m0, f32),
-                 f32(sig_init),
-                 jnp.eye(n, dtype=f32),
-                 jnp.zeros(n, f32),
-                 jnp.zeros(n, f32),
-                 jnp.asarray(x0, f32),
-                 f32(jnp.inf),
-                 jnp.asarray(0, jnp.int32),
-                 jnp.asarray(0, jnp.int32))
-        out = lax.while_loop(cond, step, carry)
-        return out[6], out[7], out[9]
+    def chunk(carry, limits):
+        # limits ride as runtime scalars (not baked constants) so a warm-up
+        # call at tiny max_iterations compiles the SAME program as the real
+        # fit — the first full fit in a fresh process would otherwise pay
+        # the chunk compile again (measured: that amortization read as
+        # 154 ms/gen on a 470-gen fit before this split)
+        max_it, max_unch = limits
 
-    best_x, best_f, it = run(jax.random.PRNGKey(seed))
-    it = int(it)
+        def frozen_step(c, _):
+            # freeze once a stopping rule fires so extra in-flight chunks
+            # are no-ops and the reported iteration count is exact
+            unchanged, it = c[-2], c[-1]
+            done = jnp.logical_or(it >= max_it, unchanged >= max_unch)
+            new = step(c)
+            c = jax.tree.map(lambda a, b: jnp.where(done, a, b), c, new)
+            return c, None
+
+        return lax.scan(frozen_step, carry, None, length=sync_every)[0]
+
+    limits = (jnp.asarray(max_iterations, jnp.int32),
+              jnp.asarray(max_unchanged_iterations, jnp.int32))
+
+    carry = (jax.random.PRNGKey(seed),
+             jnp.asarray(m0, f32),
+             f32(sig_init),
+             jnp.eye(n, dtype=f32),
+             jnp.zeros(n, f32),
+             jnp.zeros(n, f32),
+             jnp.asarray(x0, f32),
+             f32(jnp.inf),
+             jnp.asarray(0, jnp.int32),
+             jnp.asarray(0, jnp.int32))
+
+    # one-chunk-lookahead dispatch: fetch chunk i's stop scalars while
+    # chunk i+1 executes; the final fetched carry is the result (any
+    # further in-flight chunk is frozen)
+    prev = None
+    max_chunks = -(-max_iterations // sync_every) + 2
+    for _ in range(max_chunks):
+        nxt = chunk(carry, limits)
+        if prev is not None:
+            unchanged, it = int(prev[-2]), int(prev[-1])
+            if it >= max_iterations or unchanged >= max_unchanged_iterations:
+                carry = prev
+                break
+        prev, carry = carry, nxt
+    # without a break the chunk bound guarantees carry is frozen at the
+    # stopping point already (max_chunks covers max_iterations + lookahead)
+
+    best_x, best_f, it = carry[6], carry[7], int(carry[9])
     return CMAESResult(x=np.asarray(best_x, np.float64),
                        fx=float(best_f), iterations=it,
                        evaluations=it * lam)

@@ -52,8 +52,9 @@ parser.add_argument("--analytic", action="store_true",
                          " — Pr3/Pr4 are step protocols, so no ODE solve "
                          "happens at all; any backend")
 parser.add_argument("--onchip", action="store_true",
-                    help="run the ENTIRE CMA-ES fit as one jitted "
-                         "lax.while_loop on device (fit.cmaes.cmaes_onchip)"
+                    help="run the ENTIRE CMA-ES fit device-resident "
+                         "(fit.cmaes.cmaes_onchip: jitted lax.scan chunks, "
+                         "lookahead dispatch)"
                          " over the --analytic objective — zero host round "
                          "trips between generations")
 args = parser.parse_args()
@@ -406,8 +407,8 @@ def main():
         return
 
     if args.onchip:
-        print("--onchip: whole CMA-ES loop as one jitted lax.while_loop "
-              "(zero per-generation host round trips)")
+        print("--onchip: device-resident CMA-ES (jitted scan chunks, "
+              "lookahead dispatch — no per-generation host sync)")
         import time as _time
         t0 = _time.perf_counter()
         res = cmaes_onchip(
