@@ -34,12 +34,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ionflux.models.registry import HHParams, MarkovParams
 
 __all__ = [
     "hh_solve_analytic",
+    "hh_segments",
+    "hh_solve_analytic_seg",
     "markov_solve_analytic",
     "markov_interval_propagators",
 ]
@@ -149,6 +152,142 @@ def hh_solve_analytic(p, v: jnp.ndarray, dt, y0: jnp.ndarray | None = None,
             jnp.array([0.0, 1.0], dtype=ca.dtype), shp + (2,))
     y0 = jnp.broadcast_to(jnp.asarray(y0, ca.dtype), shp + (2,))
     ys = ca * y0[..., None, :] + cb
+    return jnp.concatenate([y0[..., None, :], ys], axis=-2)
+
+
+class HHSegments:
+    """Static index structure of a piecewise-constant protocol's segments.
+
+    Host-side numpy, embedded as constants at trace time — the shape of
+    the protocol, not its data, so one instance serves every sweep of a
+    family whose LEVEL values differ but whose step TIMING agrees (e.g.
+    the Pr3/Pr5 activation sweeps; intervals where any sweep ramps are
+    conservatively singleton ramp segments for all of them).
+    """
+
+    __slots__ = ("first", "length", "is_ramp", "g", "r", "n_segments")
+
+    def __init__(self, first, length, is_ramp, g, r):
+        self.first = first        # [S] first interval index of segment
+        self.length = length      # [S] interval count of segment
+        self.is_ramp = is_ramp    # [S] bool: one-knot linear ramp
+        self.g = g                # [N-1] segment id of interval i
+        self.r = r                # [N-1] 1-based interval offset in segment
+        self.n_segments = int(first.size)
+
+
+def hh_segments(v) -> HHSegments:
+    """Segment structure of concrete knot voltages ``v`` ([N] one sweep, or
+    [n_sweeps, N] a family — boundaries are the union over sweeps).
+
+    An interval is a ramp iff ANY sweep's voltage changes across it (the
+    reference's ``interp1d`` places exactly one such knot interval at each
+    step edge, train-s1.py:224-225); maximal runs of non-ramp intervals
+    form constant segments, every ramp interval its own singleton segment.
+    Treating a sweep-constant interval as a ramp (because a sibling sweep
+    ramps there) stays exact — its subdivided slice voltages all equal the
+    segment voltage.
+    """
+    v = np.asarray(v)
+    v2 = v[None] if v.ndim == 1 else v
+    ramp_iv = (v2[:, 1:] != v2[:, :-1]).any(axis=0)        # [N-1]
+    n_iv = ramp_iv.size
+    # a new segment starts at interval 0, at every ramp interval, and at
+    # the interval after a ramp
+    starts = np.zeros(n_iv, bool)
+    starts[0] = True
+    starts |= ramp_iv
+    starts[1:] |= ramp_iv[:-1]
+    g = np.cumsum(starts).astype(np.int32) - 1              # [N-1]
+    first = np.flatnonzero(starts).astype(np.int32)         # [S]
+    length = np.diff(np.append(first, n_iv)).astype(np.int32)
+    r = (np.arange(n_iv, dtype=np.int32) - first[g]) + 1    # [N-1], 1-based
+    return HHSegments(first, length, ramp_iv[first], g, r)
+
+
+def hh_solve_analytic_seg(p, v: jnp.ndarray, dt,
+                          y0: jnp.ndarray | None = None,
+                          seg: HHSegments | None = None,
+                          ramp_subdiv: int = 4):
+    """Exact HH [a, r] trajectory via SEGMENT-level closed forms.
+
+    Same mathematics as :func:`hh_solve_analytic` — the gates relax
+    exponentially within each constant-voltage segment — but exploits the
+    protocol's structure instead of scanning the lattice: a step protocol
+    has only ~13 segments (recorded Pr3/Pr5), so the sequential part of
+    the solve is an associative scan over S per-segment affine maps, and
+    every knot is then evaluated DIRECTLY from its segment-start state
+    with one ``expm1`` — ``y(t) = y_start + (y_start - x_inf) em1(-s t)``
+    — instead of composing ~1e5 per-interval maps (log-depth over the
+    whole lattice, 17 full-array passes at Pr3 size).  O(N) elementwise
+    work, no scan over the lattice, and FEWER roundings than the
+    interval-composed form (each knot's exponential is evaluated once).
+
+    ``seg`` is the static index structure from :func:`hh_segments`; it
+    must be precomputed when ``v`` is traced (inside jit/scan).  With
+    ``seg=None`` it is derived from ``v``, which must then be concrete.
+    ``v``'s values may differ from the array ``seg`` was computed from as
+    long as the segment TIMING matches (the Pr3/Pr5 sweep families).
+    Args otherwise as :func:`hh_solve_analytic`.
+    """
+    p8 = _hh_p8(p)
+    v = jnp.asarray(v)
+    dtj = jnp.asarray(dt, v.dtype)
+    shp = p8.shape[:-1]
+    if seg is None:
+        seg = hh_segments(np.asarray(v))
+
+    def interval_maps(vmid, dt_iv):
+        """Affine maps + (s, xinf) at voltages vmid [S] over dt_iv [S]."""
+        pe = p8.reshape(shp + (1, 8))
+        k1 = pe[..., 0] * jnp.exp(pe[..., 1] * vmid)
+        k2 = pe[..., 2] * jnp.exp(-pe[..., 3] * vmid)
+        k3 = pe[..., 4] * jnp.exp(pe[..., 5] * vmid)
+        k4 = pe[..., 6] * jnp.exp(-pe[..., 7] * vmid)
+        s = jnp.stack([k1 + k2, k3 + k4], axis=-1)          # [.., S, 2]
+        xinf = jnp.stack([k1, k4], axis=-1) / s
+        em1 = _expm1_accurate(-s * dt_iv[..., None])
+        return (1.0 + em1, -xinf * em1), s, xinf
+
+    first = jnp.asarray(seg.first, jnp.int32)
+    length_dt = jnp.asarray(seg.length, v.dtype) * dtj      # [S]
+    v_seg = v[first]                                        # [S]
+
+    # full-segment maps: constant segments in one closed form ...
+    (alpha_c, beta_c), s_seg, xinf_seg = interval_maps(v_seg, length_dt)
+    # ... ramp segments (singleton intervals) via subdivided midpoints
+    w = (jnp.arange(ramp_subdiv, dtype=v.dtype) + 0.5) / ramp_subdiv
+    v_next = v[first + 1]
+    dt_slice = jnp.full(v_seg.shape, dtj / ramp_subdiv, v.dtype)
+    ab_r, _, _ = interval_maps(v_seg + w[0] * (v_next - v_seg), dt_slice)
+    for j in range(1, ramp_subdiv):
+        ab_j, _, _ = interval_maps(v_seg + w[j] * (v_next - v_seg),
+                                   dt_slice)
+        ab_r = _affine_combine(ab_r, ab_j)
+    ramp = jnp.asarray(seg.is_ramp)
+    alpha_full = jnp.where(ramp[:, None], ab_r[0], alpha_c)
+    beta_full = jnp.where(ramp[:, None], ab_r[1], beta_c)
+
+    # segment-start states from the prefix composition over S segments
+    ca, cb = lax.associative_scan(_affine_combine,
+                                  (alpha_full, beta_full), axis=-2)
+    if y0 is None:
+        y0 = jnp.array([0.0, 1.0], dtype=ca.dtype)
+    y0 = jnp.broadcast_to(jnp.asarray(y0, ca.dtype), shp + (2,))
+    y_end = ca * y0[..., None, :] + cb                      # [.., S, 2]
+    y_start = jnp.concatenate(
+        [y0[..., None, :], y_end[..., :-1, :]], axis=-2)
+
+    # direct per-knot evaluation from the segment-start state
+    g = jnp.asarray(seg.g, jnp.int32)
+    t_rel = jnp.asarray(seg.r, v.dtype) * dtj               # [N-1]
+    s_g = jnp.take(s_seg, g, axis=-2)
+    em1_k = _expm1_accurate(-s_g * t_rel[:, None])
+    ramp_g = ramp[g][:, None]
+    a_k = jnp.where(ramp_g, jnp.take(alpha_full, g, axis=-2), 1.0 + em1_k)
+    b_k = jnp.where(ramp_g, jnp.take(beta_full, g, axis=-2),
+                    -jnp.take(xinf_seg, g, axis=-2) * em1_k)
+    ys = a_k * jnp.take(y_start, g, axis=-2) + b_k
     return jnp.concatenate([y0[..., None, :], ys], axis=-2)
 
 

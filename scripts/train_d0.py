@@ -298,23 +298,27 @@ def make_objective_analytic(d3: np.ndarray, d5: np.ndarray, pop: int,
     """--analytic path: the same whole-trace SSE objective through the
     EXACT piecewise-constant propagator (ionflux.solver.analytic) — the HH
     candidate is linear within each constant-voltage segment of the
-    recorded Pr3/Pr5 step protocols, so each sweep is one log-depth
-    ``lax.associative_scan`` over closed-form affine gate maps instead of
-    an adaptive ODE solve.  No tolerance, no trip budget, no solver
+    recorded Pr3/Pr5 step protocols (~13 segments per sweep), so each
+    sweep is a tiny associative scan over per-SEGMENT closed-form affine
+    gate maps plus one direct ``expm1`` per knot
+    (``hh_solve_analytic_seg``) instead of an adaptive ODE solve — no
+    lattice-wide scan at all.  No tolerance, no trip budget, no solver
     failure mode: gates stay in [0, 1] by construction, and the only
     non-finite escape is a wild candidate overflowing the f32 rate
     ``p1 e^{p2 V}`` itself (caught by the isfinite -> inf sentinel, the
     same semantics as the solver paths).  State is carried across sweeps
     and across the Pr3->Pr5 boundary exactly like the reference's single
     concatenated odeint (train-d0.py:487-505)."""
-    from ionflux.solver.analytic import hh_solve_analytic
+    from ionflux.solver.analytic import hh_segments, hh_solve_analytic_seg
 
     blocks = []
     for name, d in (("pr3-cell5", d3), ("pr5-cell5", d5)):
         protos, _ts, n_sweeps, period = _sweep_protos(name)
-        blocks.append((jnp.asarray(np.asarray(protos.v), jnp.float32),
+        v_np = np.asarray(protos.v)
+        blocks.append((jnp.asarray(v_np, jnp.float32),
                        float(protos.dt[0]),
-                       jnp.asarray(d, jnp.float32), n_sweeps, period))
+                       jnp.asarray(d, jnp.float32), n_sweeps, period,
+                       hh_segments(v_np)))
 
     rg = jnp.asarray([float(x) for x in RGATE], jnp.float32)
 
@@ -323,10 +327,10 @@ def make_objective_analytic(d3: np.ndarray, d5: np.ndarray, pop: int,
             [xs, jnp.broadcast_to(rg[None], (pop, 4))], axis=1)
         y = jnp.tile(jnp.array([0.0, 1.0], jnp.float32), (pop, 1))
         acc = jnp.zeros((pop,), jnp.float32)
-        for vs, dt, d, n_sweeps, period in blocks:
-            def sweep(y, v_row, dt=dt):
-                ys = hh_solve_analytic(p8, v_row, dt, y0=y,
-                                       ramp_subdiv=ramp_subdiv)
+        for vs, dt, d, n_sweeps, period, seg in blocks:
+            def sweep(y, v_row, dt=dt, seg=seg):
+                ys = hh_solve_analytic_seg(p8, v_row, dt, y0=y, seg=seg,
+                                           ramp_subdiv=ramp_subdiv)
                 i_sim = (ys[:, :-1, 0] * ys[:, :-1, 1]
                          * (v_row[None, :-1] - SYNTHETIC.e))
                 return ys[:, -1, :], i_sim

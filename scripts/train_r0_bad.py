@@ -166,10 +166,11 @@ def make_objective(meas: dict, pop: int):
 def make_objective_analytic(meas: dict, pop: int, ramp_subdiv: int = 4):
     """--analytic path: the masked-lattice SSE through the EXACT
     piecewise-constant propagator (ionflux.solver.analytic) — Pr3/Pr4 are
-    step protocols, so each sweep is one log-depth associative scan of
-    closed-form affine gate maps instead of an adaptive ODE solve (see
-    train_d0.make_objective_analytic for the accuracy story)."""
-    from ionflux.solver.analytic import hh_solve_analytic
+    step protocols, so each sweep is a tiny per-SEGMENT associative scan
+    plus one direct ``expm1`` per knot (``hh_solve_analytic_seg``)
+    instead of an adaptive ODE solve (see train_d0.make_objective_analytic
+    for the accuracy story)."""
+    from ionflux.solver.analytic import hh_segments, hh_solve_analytic_seg
 
     blocks = []
     for name in ("pr3", "pr4"):
@@ -178,10 +179,12 @@ def make_objective_analytic(meas: dict, pop: int, ramp_subdiv: int = 4):
         idx = np.round(np.asarray(tl) / protorec.DT_MS).astype(np.int64)
         v_full = jnp.asarray(protorec.load_voltage(f"{name}-cell5")[0],
                              jnp.float32)
-        blocks.append((jnp.asarray(np.asarray(protos.v), jnp.float32),
+        v_np = np.asarray(protos.v)
+        blocks.append((jnp.asarray(v_np, jnp.float32),
                        float(protos.dt[0]), n_sweeps, period, v_full,
                        jnp.asarray(idx),
-                       jnp.asarray(np.asarray(i_meas), jnp.float32)))
+                       jnp.asarray(np.asarray(i_meas), jnp.float32),
+                       hh_segments(v_np)))
 
     rg = jnp.asarray(RGATE, jnp.float32)
 
@@ -190,10 +193,10 @@ def make_objective_analytic(meas: dict, pop: int, ramp_subdiv: int = 4):
             [xs, jnp.broadcast_to(rg[None], (pop, 4))], axis=1)
         y = jnp.tile(jnp.array([0.0, 1.0], jnp.float32), (pop, 1))
         acc = jnp.zeros((pop,), jnp.float32)
-        for vs, dt, n_sweeps, period, v_full, idx, d in blocks:
-            def sweep(y, v_row, dt=dt):
-                ys = hh_solve_analytic(p8, v_row, dt, y0=y,
-                                       ramp_subdiv=ramp_subdiv)
+        for vs, dt, n_sweeps, period, v_full, idx, d, seg in blocks:
+            def sweep(y, v_row, dt=dt, seg=seg):
+                ys = hh_solve_analytic_seg(p8, v_row, dt, y0=y, seg=seg,
+                                           ramp_subdiv=ramp_subdiv)
                 return ys[:, -1, :], ys[:, :-1, :]
 
             y, ys = jax.lax.scan(sweep, y, vs)

@@ -201,3 +201,110 @@ def test_hh_analytic_wild_candidate_overflows_to_nonfinite_not_hang():
     p[1] *= 30.0  # e^{3.5*60} overflows f32
     ys = np.asarray(hh_solve_analytic(jnp.asarray(p), jnp.asarray(v), DT))
     assert not np.isfinite(ys).all()
+
+
+def test_hh_segments_structure():
+    from ionflux.solver.analytic import hh_segments
+    v = np.array([-80.0] * 4 + [-40.0] * 3 + [20.0] * 5, np.float32)
+    seg = hh_segments(v)
+    # runs: [-80 x4] | ramp | [-40 x2] | ramp | [20 x4] -> 5 segments
+    assert seg.n_segments == 5
+    assert list(seg.is_ramp) == [False, True, False, True, False]
+    assert list(seg.first) == [0, 3, 4, 6, 7]
+    assert list(seg.length) == [3, 1, 2, 1, 4]
+    assert list(seg.g) == [0, 0, 0, 1, 2, 2, 3, 4, 4, 4, 4]
+    assert list(seg.r) == [1, 2, 3, 1, 1, 2, 1, 1, 2, 3, 4]
+    # a family whose sweeps disagree forces union boundaries
+    v2 = np.stack([v, np.full_like(v, -80.0)])
+    assert hh_segments(v2).n_segments == 5
+
+
+def _f64_midpoint_ref(v, p, sub=4, y0=(0.0, 1.0)):
+    """f64 composition with the SAME k-slice midpoint ramp treatment as
+    the analytic paths — isolates f32 ROUNDING (not ramp discretisation,
+    which both paths share and the scipy-oracle tests already bound)."""
+    w = (np.arange(sub) + 0.5) / sub
+    p = np.asarray(p, np.float64)
+    y = np.asarray(y0, np.float64)
+    out = [y]
+    for i in range(v.size - 1):
+        for j in range(sub):
+            vm = v[i] + w[j] * (v[i + 1] - v[i])
+            k1 = p[0] * np.exp(p[1] * vm)
+            k2 = p[2] * np.exp(-p[3] * vm)
+            k3 = p[4] * np.exp(p[5] * vm)
+            k4 = p[6] * np.exp(-p[7] * vm)
+            s = np.array([k1 + k2, k3 + k4])
+            xinf = np.array([k1, k4]) / s
+            y = xinf + (y - xinf) * np.exp(-s * DT / sub)
+        out.append(y)
+    return np.array(out)
+
+
+def test_hh_analytic_seg_beats_interval_path_rounding():
+    """The segment-exact path evaluates each knot's exponential ONCE from
+    its segment-start state, so it avoids the interval-composed path's
+    compounded f32 rounding drift over long constant segments (measured
+    9.7e-4 after 56k intervals of a recorded Pr3 sweep, round 4)."""
+    from ionflux.solver.analytic import hh_solve_analytic_seg
+    v = _staircase(n_levels=4, knots_per=4000)  # long constant segments
+    p = _hh_p8()
+    ref = _f64_midpoint_ref(v.astype(np.float64), p)
+    ys_seg = np.asarray(hh_solve_analytic_seg(
+        jnp.asarray(np.array(p, np.float32)), jnp.asarray(v), DT))
+    ys_iv = np.asarray(hh_solve_analytic(
+        jnp.asarray(np.array(p, np.float32)), jnp.asarray(v), DT))
+    err_seg = np.abs(ys_seg - ref).max()
+    err_iv = np.abs(ys_iv - ref).max()
+    assert err_seg < 2e-6, err_seg
+    assert err_seg <= err_iv + 1e-7, (err_seg, err_iv)
+
+
+def test_hh_analytic_seg_matches_interval_path_with_carry_and_pop():
+    from ionflux.solver.analytic import hh_segments, hh_solve_analytic_seg
+    v = _staircase(seed=9, n_levels=5, knots_per=60)
+    rng = np.random.RandomState(5)
+    p8 = np.array(_hh_p8())[None] * rng.uniform(0.8, 1.25, (3, 8))
+    p8 = jnp.asarray(p8.astype(np.float32))
+    y0 = jnp.asarray(rng.uniform(0.1, 0.9, (3, 2)).astype(np.float32))
+    seg = hh_segments(v)
+    a = np.asarray(hh_solve_analytic(p8, jnp.asarray(v), DT, y0=y0))
+    b = np.asarray(hh_solve_analytic_seg(p8, jnp.asarray(v), DT, y0=y0,
+                                         seg=seg))
+    # short segments: both paths agree to f32 noise
+    assert np.abs(a - b).max() < 3e-5, np.abs(a - b).max()
+
+
+def test_hh_analytic_seg_shared_seg_across_traced_sweeps():
+    """One static HHSegments drives a lax.scan over sweeps whose traced
+    voltage LEVELS differ (the Pr3/Pr5 family pattern)."""
+    from ionflux.solver.analytic import hh_segments, hh_solve_analytic_seg
+    base = np.array([-80.0] * 40 + [-40.0] * 30 + [-80.0] * 30, np.float32)
+    rows = np.stack([base, np.where(base == -40.0, 10.0, base),
+                     np.where(base == -40.0, 40.0, base)])
+    seg = hh_segments(rows)
+    p8 = jnp.asarray(np.array(_hh_p8(), np.float32))
+
+    def sweep(y, v_row):
+        ys = hh_solve_analytic_seg(p8, v_row, DT, y0=y, seg=seg)
+        return ys[-1], ys
+
+    _, ys = jax.lax.scan(sweep, jnp.array([0.0, 1.0], jnp.float32),
+                         jnp.asarray(rows))
+    for k in range(3):
+        ref = _scipy_hh(rows[k], _hh_p8()) if k == 0 else None
+        one = np.asarray(hh_solve_analytic_seg(
+            p8, jnp.asarray(rows[k]), DT,
+            y0=None if k == 0 else np.asarray(prev_end), seg=seg))
+        assert np.abs(np.asarray(ys[k]) - one).max() < 1e-6
+        if ref is not None:
+            assert np.abs(one - ref).max() < 5e-5
+        prev_end = ys[k][-1]
+
+
+def test_hh_analytic_seg_wild_candidate_nonfinite_not_hang():
+    from ionflux.solver.analytic import hh_solve_analytic_seg
+    v = _staircase(n_levels=3, knots_per=30)
+    p8 = jnp.asarray(np.array([1e30, 5.0, 1e30, 5.0] * 2, np.float32))
+    ys = np.asarray(hh_solve_analytic_seg(p8, jnp.asarray(v), DT))
+    assert not np.all(np.isfinite(ys))
