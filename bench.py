@@ -820,6 +820,39 @@ def _promote_popsweep_headline(rec: dict) -> None:
             " trips; Q protocol rows in the MXU M dim")
 
 
+def _carry_missing_families(rec: dict) -> None:
+    """When a budget squeeze (slow probe, long compile) skips one of the
+    optional metric families on an otherwise-successful TPU run, carry
+    that family forward from the prior BENCH_TPU_LAST record rather than
+    silently dropping a previously-landed metric.  Carried values are
+    tagged with `<family>_carried_from` = the prior capture's timestamp,
+    so the record never passes stale numbers off as fresh.  The headline
+    (`solves_per_sec` etc.) is never carried — only fresh data competes
+    for it (_promote_popsweep_headline runs before this)."""
+    if not os.path.exists(TPU_LAST_FILE):
+        return
+    try:
+        with open(TPU_LAST_FILE) as fh:
+            prior = json.load(fh)
+    except (OSError, ValueError):
+        return
+    at = prior.get("measured_at", "unknown")
+    families = {
+        "pallas_sweep": lambda k: k.startswith("pallas_sweep_"),
+        "pallas_popsweep": lambda k: k.startswith("pallas_popsweep_"),
+        "epoch": lambda k: k.startswith("epoch") or k.startswith(
+            "nnf_sinewave_epoch"),
+    }
+    for name, match in families.items():
+        if any(match(k) for k in rec):
+            continue  # fresh data for this family — nothing to carry
+        carried = {k: v for k, v in prior.items() if match(k)}
+        if carried:
+            rec.update(carried)
+            rec[f"{name}_carried_from"] = at
+            log(f"{name} metrics carried from prior capture ({at})")
+
+
 def emit(value, baseline, **extra):
     rec = {
         "metric": "nnf_sinewave_batched_solves_per_sec",
@@ -927,6 +960,7 @@ def main():
                     rec.update(prec)
                 elif perr:
                     log(f"epoch metric skipped: {perr}")
+            _carry_missing_families(rec)
             try:
                 with open(TPU_LAST_FILE, "w") as fh:
                     json.dump({"measured_at": time.strftime(

@@ -162,3 +162,46 @@ def test_bench_popsweep_headline_promotion():
     bench._promote_popsweep_headline(rec2)
     assert rec2["solves_per_sec"] == 604.0
     assert "headline_kernel" not in rec2
+
+
+def test_bench_carries_missing_metric_families(tmp_path, monkeypatch):
+    """A budget squeeze that skips an optional metric family on a
+    successful TPU run must not silently drop it from BENCH_TPU_LAST:
+    _carry_missing_families pulls the family from the prior record and
+    tags it with <family>_carried_from (never the headline fields)."""
+    import bench
+
+    prior = {
+        "measured_at": "2026-08-18T12:00:00",
+        "solves_per_sec": 9000.0,
+        "pallas_sweep_solves_per_sec": 14000.0,
+        "pallas_sweep_batch": 128,
+        "pallas_popsweep_solves_per_sec": 9800.0,
+        "nnf_sinewave_epoch_time": 0.119,
+        "epoch_train_seconds": 0.1,
+        "nnf_sinewave_epoch_vs_baseline": 475.0,
+    }
+    last = tmp_path / "tpu_last.json"
+    last.write_text(json.dumps(prior))
+    monkeypatch.setattr(bench, "TPU_LAST_FILE", str(last))
+
+    # fresh run measured popsweep but the probe ate the epoch+sweep budget
+    rec = {"solves_per_sec": 10000.0,
+           "pallas_popsweep_solves_per_sec": 10100.0}
+    bench._carry_missing_families(rec)
+    # carried: epoch + sweep families, tagged with the prior timestamp
+    assert rec["nnf_sinewave_epoch_time"] == 0.119
+    assert rec["nnf_sinewave_epoch_vs_baseline"] == 475.0
+    assert rec["epoch_carried_from"] == "2026-08-18T12:00:00"
+    assert rec["pallas_sweep_solves_per_sec"] == 14000.0
+    assert rec["pallas_sweep_carried_from"] == "2026-08-18T12:00:00"
+    # NOT carried: fresh popsweep family and the headline stay fresh
+    assert rec["pallas_popsweep_solves_per_sec"] == 10100.0
+    assert "pallas_popsweep_carried_from" not in rec
+    assert rec["solves_per_sec"] == 10000.0
+
+    # no prior file -> no-op
+    monkeypatch.setattr(bench, "TPU_LAST_FILE", str(tmp_path / "none.json"))
+    rec2 = {"solves_per_sec": 1.0}
+    bench._carry_missing_families(rec2)
+    assert rec2 == {"solves_per_sec": 1.0}
