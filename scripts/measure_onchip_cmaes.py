@@ -3,13 +3,20 @@
 
 The --onchip rationale (fit.cmaes.cmaes_onchip docstring) is that the
 remote tunnel's ~25 ms dispatch RTT per generation dominates a converged
-analytic-objective d0 fit.  This probe runs BOTH complete fits on the
-real device — the host ask/tell loop over the jitted analytic objective,
-and the single-launch lax.while_loop — and prints one JSON line each
-with wall time, iterations, final SSE, and parameter distance to the
+analytic-objective fit.  This probe runs BOTH complete fits on the real
+device — the host ask/tell loop over the jitted analytic objective, and
+the device-resident scan-chunk loop — and prints one JSON line each with
+wall time, iterations, final SSE, and parameter distance to the
 reference optimum, warm (compile excluded via a throwaway short run).
 
-Usage: python scripts/measure_onchip_cmaes.py [--platform cpu]
+Covers both whole-trace CMA-ES studies: --study d0 (synthetic
+staircase+activation sweeps, train-d0.py) and --study r0bad (recovered
+real Pr3+Pr4 masked-lattice measurements, train-r0-bad.py; the reference
+parameter distance is informational only — our recoverable objective's
+optimum beats the archived fit, ROADMAP round 3).
+
+Usage: python scripts/measure_onchip_cmaes.py [--study d0|r0bad]
+       [--platform cpu]
 """
 
 from __future__ import annotations
@@ -25,12 +32,14 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--platform", default=None)
+ap.add_argument("--study", default="d0", choices=("d0", "r0bad"))
 opts = ap.parse_args()
 
-sys.argv = ["train_d0.py", "--cached"] + (
+TRAINER = {"d0": "train_d0.py", "r0bad": "train_r0_bad.py"}[opts.study]
+sys.argv = [TRAINER, "--cached"] + (
     ["--platform", opts.platform] if opts.platform else [])
 spec = importlib.util.spec_from_file_location(
-    "train_d0_mod", os.path.join(HERE, "train_d0.py"))
+    "trainer_mod", os.path.join(HERE, TRAINER))
 mod = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(mod)
 
@@ -38,11 +47,15 @@ import numpy as np  # noqa: E402
 
 from ionflux.fit.cmaes import cmaes, cmaes_onchip  # noqa: E402
 
-REF = np.loadtxt("/root/reference/d0/model-parameters.txt")
+REF = np.loadtxt({
+    "d0": "/root/reference/d0/model-parameters.txt",
+    "r0bad": "/root/reference/r0-bad/model-parameters.txt",
+}[opts.study])
 
 
 def report(name, res, wall, extra=None):
     rec = {
+        "study": opts.study,
         "path": name,
         "wall_seconds": round(wall, 2),
         "iterations": res.iterations,
@@ -55,10 +68,22 @@ def report(name, res, wall, extra=None):
     print(json.dumps(rec), flush=True)
 
 
+def make_objective():
+    """Build the --analytic objective exactly as the trainer's main() does
+    (train_d0.py / train_r0_bad.py --analytic branches)."""
+    if opts.study == "d0":
+        d3, d5 = mod.generate_data()
+        return mod.make_objective_analytic(d3, d5, pop=8)
+    meas = mod.recover_measurements(
+        f"{mod.REFDIR}/r1-bad", mod.CELL5_R1BAD, mod.HH_R1BAD_INIT,
+        protocols=("pr3", "pr4"), n_points=30)
+    pop = 4 + int(3 * np.log(len(mod.P0)))
+    return mod.make_objective_analytic(meas, pop)
+
+
 def main():
     import jax
-    d3, d5 = mod.generate_data()
-    obj = mod.make_objective_analytic(d3, d5, pop=8)
+    obj = make_objective()
     backend = jax.devices()[0].platform
     kw = dict(sigma0=mod.P0 * 0.1, bounds=(mod.P0 * 0.1, mod.P0 * 10.0),
               max_unchanged_iterations=100, unchanged_threshold=1e-3)
