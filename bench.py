@@ -842,6 +842,10 @@ def _carry_missing_families(rec: dict) -> None:
         "pallas_popsweep": lambda k: k.startswith("pallas_popsweep_"),
         "epoch": lambda k: k.startswith("epoch") or k.startswith(
             "nnf_sinewave_epoch"),
+        # the lockstep scaling probe is skipped entirely on a
+        # headline-only (degraded-tunnel) capture
+        "lockstep": lambda k: (k in ("scaling", "steps_per_solve")
+                               or k.startswith("lockstep_")),
     }
     for name, match in families.items():
         if any(match(k) for k in rec):
@@ -914,6 +918,21 @@ def main():
                 1.0, remaining() - cpu_reserve - 110.0)))
 
     if probe_ok:
+        # HEADLINE FIRST (hardened after the 2026-08-19 half-dead tunnel:
+        # the probe compute answers but heavy work stalls, so the ~220 s
+        # lockstep scaling probe eats the whole window and the round falls
+        # back to CPU).  The popsweep headline case is a handful of ~0.2 s
+        # reps — secure it up front while the tunnel is at its healthiest,
+        # then spend whatever remains on the full scaling probe.
+        head, herr = _run_measure_subprocess(
+            "popsweep", min(180.0, max(90.0, remaining() - cpu_reserve
+                                       - 120.0)))
+        if head is not None and not head.get(
+                "pallas_popsweep_solves_per_sec"):
+            head = None
+        if head is None and herr:
+            errors.append(herr)
+            log(f"headline-first popsweep attempt failed: {herr}")
         tmo = max(120.0, remaining() - cpu_reserve)
         os.environ["IONFLUX_MEASURE_BUDGET"] = str(max(90.0, tmo * 0.45))
         rec, err = _run_measure_subprocess("tpu", tmo)
@@ -926,6 +945,16 @@ def main():
                 if err:
                     errors.append(err)
                     log(f"bench retry failed: {err}")
+        if rec is not None and head is not None:
+            rec.update(head)
+        elif rec is None and head is not None:
+            # the scaling probe never landed but the headline did — emit a
+            # headline-only TPU capture rather than surrender the round
+            rec = {"note": ("headline-only capture: lockstep scaling "
+                            "probe timed out under a degraded tunnel"),
+                   **head}
+            log("emitting headline-only popsweep capture (scaling probe "
+                "timed out)")
         if rec is not None:
             # second metric: the fused Pallas protocol-sweep solve — bounded
             # so a cache-miss compile can never cost the headline datum
@@ -937,8 +966,10 @@ def main():
                 elif perr:
                     log(f"pallas sweep metric skipped: {perr}")
             # third metric: population x protocol-sweep kernel (bounded the
-            # same way; its cache-miss Mosaic compile takes minutes)
-            if remaining() > 150.0:
+            # same way; its cache-miss Mosaic compile takes minutes) —
+            # unless the headline-only fallback already measured it
+            if (remaining() > 150.0
+                    and "pallas_popsweep_solves_per_sec" not in rec):
                 prec, perr = _run_measure_subprocess(
                     "popsweep", max(120.0, remaining() - 30.0))
                 if prec is not None:

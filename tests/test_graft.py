@@ -205,3 +205,62 @@ def test_bench_carries_missing_metric_families(tmp_path, monkeypatch):
     rec2 = {"solves_per_sec": 1.0}
     bench._carry_missing_families(rec2)
     assert rec2 == {"solves_per_sec": 1.0}
+
+
+def test_bench_headline_only_fallback_on_degraded_tunnel(tmp_path,
+                                                         monkeypatch,
+                                                         capsys):
+    """When the full lockstep scaling probe times out but the tunnel is
+    alive (the degraded 2026-08-19 mode), bench must land the cheap
+    headline popsweep case alone — emitting a real TPU record with the
+    popsweep promoted to the headline and the skipped families carried
+    from the prior capture — instead of surrendering to cpu-fallback."""
+    import bench
+
+    prior = {"measured_at": "2026-08-19T17:04:53",
+             "scaling": [{"batch": 64, "solves_per_sec": 496.6}],
+             "steps_per_solve": 1814,
+             "nnf_sinewave_epoch_time": 0.1653,
+             "pallas_sweep_solves_per_sec": 4590.7}
+    last = tmp_path / "tpu_last.json"
+    last.write_text(json.dumps(prior))
+    monkeypatch.setattr(bench, "TPU_LAST_FILE", str(last))
+    monkeypatch.setattr(bench, "_probe_backend", lambda t: (True, None))
+
+    calls = []
+
+    def fake_measure(backend, tmo):
+        calls.append(backend)
+        if backend == "popsweep":
+            return ({"pallas_popsweep_solves_per_sec": 10164.5,
+                     "pallas_popsweep_members": 64,
+                     "pallas_popsweep_protocols": 32,
+                     "pallas_popsweep_mfu_bf16_peak": 0.31,
+                     "pallas_popsweep_achieved_gflops": 61071.9,
+                     "pallas_popsweep_us_per_trip": 80.72,
+                     "pallas_popsweep_trips": 2496}, None)
+        return (None, f"{backend} measurement timed out")
+
+    monkeypatch.setattr(bench, "_run_measure_subprocess", fake_measure)
+    monkeypatch.setenv("IONFLUX_BENCH_BUDGET", "540")
+    bench.main()
+    line = [l for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")][-1]
+    rec = json.loads(line)
+    # the popsweep case IS the headline; this is a TPU capture, not a
+    # cpu-fallback
+    assert rec["value"] == 10164.5
+    assert rec.get("backend") != "cpu-fallback"
+    assert "pallas-popsweep" in rec["headline_kernel"]
+    assert "headline-only" in rec["note"]
+    # popsweep is measured exactly once (not re-run by the normal step)
+    assert calls.count("popsweep") == 1
+    # skipped families carried from the prior capture, tagged
+    assert rec["nnf_sinewave_epoch_time"] == 0.1653
+    assert rec["epoch_carried_from"] == "2026-08-19T17:04:53"
+    assert rec["scaling"] == prior["scaling"]
+    assert rec["lockstep_carried_from"] == "2026-08-19T17:04:53"
+    # and the TPU_LAST record was refreshed with the same content
+    written = json.load(open(last))
+    assert written["solves_per_sec"] == 10164.5
+    assert written["nnf_sinewave_epoch_time"] == 0.1653
