@@ -28,6 +28,10 @@ class CMAESResult:
     iterations: int
     evaluations: int
     history: list = field(default_factory=list)  # (iter, best_fx)
+    # True when the fit stopped on max_iterations rather than convergence
+    # (the unchanged-iterations rule) — a silently truncated fit is the one
+    # outcome a caller must be able to see (ADVICE r4)
+    hit_max_iterations: bool = False
 
 
 def _default_popsize(n: int) -> int:
@@ -152,7 +156,11 @@ def cmaes(
         if unchanged >= max_unchanged_iterations:
             break
     return CMAESResult(x=best_x, fx=best_f, iterations=it,
-                       evaluations=evals, history=history)
+                       evaluations=evals, history=history,
+                       hit_max_iterations=(max_iterations is not None
+                                           and it >= max_iterations
+                                           and unchanged
+                                           < max_unchanged_iterations))
 
 
 def cmaes_onchip(
@@ -161,7 +169,7 @@ def cmaes_onchip(
     sigma0: np.ndarray | float,
     bounds: tuple[np.ndarray, np.ndarray] | None = None,
     popsize: int | None = None,
-    max_iterations: int = 2000,
+    max_iterations: int | None = None,
     max_unchanged_iterations: int = 100,
     unchanged_threshold: float = 1e-3,
     log_transform: bool = True,
@@ -316,7 +324,13 @@ def cmaes_onchip(
 
         return lax.scan(frozen_step, carry, None, length=sync_every)[0]
 
-    limits = (jnp.asarray(max_iterations, jnp.int32),
+    # None matches the host default (unbounded, the reference's
+    # opt.set_max_iterations(None)): the stopping rule is then the
+    # unchanged-iterations test alone; the internal bound only sizes the
+    # dispatch loop (ADVICE r4: a silently truncated on-chip-only default
+    # diverged from the host semantics)
+    max_it_eff = 1_000_000 if max_iterations is None else max_iterations
+    limits = (jnp.asarray(max_it_eff, jnp.int32),
               jnp.asarray(max_unchanged_iterations, jnp.int32))
 
     carry = (jax.random.PRNGKey(seed),
@@ -332,24 +346,39 @@ def cmaes_onchip(
 
     # one-chunk-lookahead dispatch: fetch chunk i's stop scalars while
     # chunk i+1 executes; the final fetched carry is the result (any
-    # further in-flight chunk is frozen)
+    # further in-flight chunk is frozen).  The per-chunk fetch already
+    # syncs two scalars; best_f rides along for free, giving a
+    # chunk-granular convergence history (ADVICE r4: the --onchip path
+    # returned an empty history).
     prev = None
-    max_chunks = -(-max_iterations // sync_every) + 2
+    history = []
+    max_chunks = -(-max_it_eff // sync_every) + 2
     for _ in range(max_chunks):
         nxt = chunk(carry, limits)
         if prev is not None:
             unchanged, it = int(prev[-2]), int(prev[-1])
-            if it >= max_iterations or unchanged >= max_unchanged_iterations:
+            history.append((it, float(prev[7])))
+            if it >= max_it_eff or unchanged >= max_unchanged_iterations:
                 carry = prev
                 break
         prev, carry = carry, nxt
     # without a break the chunk bound guarantees carry is frozen at the
     # stopping point already (max_chunks covers max_iterations + lookahead)
 
-    best_x, best_f, it = carry[6], carry[7], int(carry[9])
+    best_x, best_f = carry[6], carry[7]
+    it, unchanged = int(carry[9]), int(carry[8])
+    if not history or history[-1][0] != it:
+        history.append((it, float(best_f)))
+    hit_max = (max_iterations is not None and it >= max_iterations
+               and unchanged < max_unchanged_iterations)
+    if hit_max:
+        print(f"cmaes_onchip: stopped at max_iterations={max_iterations} "
+              f"before convergence (unchanged={unchanged}/"
+              f"{max_unchanged_iterations})")
     return CMAESResult(x=np.asarray(best_x, np.float64),
                        fx=float(best_f), iterations=it,
-                       evaluations=it * lam)
+                       evaluations=it * lam, history=history,
+                       hit_max_iterations=hit_max)
 
 
 def shard_objective(mesh, per_member_fn: Callable | None = None,
