@@ -891,9 +891,9 @@ def _carry_missing_families(rec: dict) -> None:
 # line when it would overflow the driver's 2,000-char tail capture, cheapest
 # first (the round-4 record lost its headline fields to exactly that
 # truncation — VERDICT r4 weak #1).
-_EMIT_DROP_ORDER = ("last_tpu", "scaling", "pallas_sweep_rep_seconds",
+_EMIT_DROP_ORDER = ("scaling", "pallas_sweep_rep_seconds",
                     "pallas_popsweep_rep_seconds", "lockstep_bound", "bound",
-                    "note", "headline_kernel", "error")
+                    "note", "headline_kernel", "last_tpu", "error")
 _EMIT_TAIL_LIMIT = 1900
 
 
@@ -1069,6 +1069,16 @@ def main():
         try:
             with open(TPU_LAST_FILE) as fh:
                 last_tpu = json.load(fh)
+            # trim to the critical fields: the full record is ~2.2 KB and
+            # would force emit() to drop the carry entirely to fit the
+            # driver's tail capture (the full record stays on disk)
+            keep = ("measured_at", "solves_per_sec", "batch",
+                    "mfu_bf16_peak", "headline_kernel",
+                    "nnf_sinewave_epoch_time",
+                    "nnf_sinewave_epoch_vs_baseline",
+                    "pallas_popsweep_solves_per_sec",
+                    "pallas_sweep_solves_per_sec")
+            last_tpu = {k: v for k, v in last_tpu.items() if k in keep}
         except (OSError, ValueError):
             pass
     rec, err = _run_measure_subprocess("cpu", max(60.0, remaining()))
