@@ -28,6 +28,7 @@ from ionflux.observe import gate_current, mae, markov_current
 from ionflux.solver import odeint
 from ionflux.solver.adams import odeint_adams
 from ionflux.solver.vcabm import odeint_vcabm
+from ionflux.solver.implicit import odeint_rosenbrock
 
 _RHS = {
     "hh": hh_rhs,
@@ -75,8 +76,8 @@ def solve_states(kind: str, params, proto: P.Protocol, ts: jnp.ndarray,
         method = DEFAULT_METHOD
     if y0 is None:
         y0 = default_y0(kind, ts.dtype)
-    solver = {"adams": odeint_adams, "vcabm": odeint_vcabm}.get(
-        method, odeint)
+    solver = {"adams": odeint_adams, "vcabm": odeint_vcabm,
+              "rosenbrock": odeint_rosenbrock}.get(method, odeint)
     return solver(_model_rhs(kind), y0, ts, (params, proto),
                   rtol=rtol, atol=atol, **kw)
 
@@ -85,7 +86,9 @@ def simulate(kind: str, params, proto: P.Protocol, ts: jnp.ndarray,
              c: Constants, y0=None, rtol=1e-6, atol=1e-8,
              method: str | None = None, **kw) -> jnp.ndarray:
     """Observed current for any model family on a protocol
-    (method: 'dopri5' | 'adams' (ABM4) | 'vcabm' (variable-order 1-12), reference --method flag)."""
+    (method: 'dopri5' | 'adams' (ABM4) | 'vcabm' (variable-order 1-12) |
+    'rosenbrock' (implicit L-stable 2(3), stiff systems), reference
+    --method flag)."""
     ys = solve_states(kind, params, proto, ts, y0, rtol, atol, method, **kw)
     v = P.voltage(proto, ts)
     if kind == "markov":

@@ -14,7 +14,8 @@ import jax
 
 def study_parser(desc: str, real: bool = False) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(desc)
-    p.add_argument("--method", type=str, choices=["dopri5", "adams", "vcabm"],
+    p.add_argument("--method", type=str,
+                   choices=["dopri5", "adams", "vcabm", "rosenbrock"],
                    default="dopri5")
     p.add_argument("--adjoint", action="store_true")
     p.add_argument("--debug", action="store_true")

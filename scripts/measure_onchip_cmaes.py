@@ -15,8 +15,13 @@ real Pr3+Pr4 masked-lattice measurements, train-r0-bad.py; the reference
 parameter distance is informational only — our recoverable objective's
 optimum beats the archived fit, ROADMAP round 3).
 
+--objective fused measures the same pair over the adaptive HH-population
+Pallas kernel objective (make_objective_fused / fused_hh_pop_solve_ft) —
+the path that generalizes beyond piecewise-constant protocols (VERDICT r4
+next #8).
+
 Usage: python scripts/measure_onchip_cmaes.py [--study d0|r0bad]
-       [--platform cpu]
+       [--objective analytic|fused] [--platform cpu]
 """
 
 from __future__ import annotations
@@ -33,6 +38,8 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 ap = argparse.ArgumentParser()
 ap.add_argument("--platform", default=None)
 ap.add_argument("--study", default="d0", choices=("d0", "r0bad"))
+ap.add_argument("--objective", default="analytic",
+                choices=("analytic", "fused"))
 opts = ap.parse_args()
 
 TRAINER = {"d0": "train_d0.py", "r0bad": "train_r0_bad.py"}[opts.study]
@@ -56,6 +63,7 @@ REF = np.loadtxt({
 def report(name, res, wall, extra=None):
     rec = {
         "study": opts.study,
+        "objective": opts.objective,
         "path": name,
         "wall_seconds": round(wall, 2),
         "iterations": res.iterations,
@@ -69,16 +77,18 @@ def report(name, res, wall, extra=None):
 
 
 def make_objective():
-    """Build the --analytic objective exactly as the trainer's main() does
-    (train_d0.py / train_r0_bad.py --analytic branches)."""
+    """Build the --analytic or --fused objective exactly as the trainer's
+    main() does (train_d0.py / train_r0_bad.py objective branches)."""
+    maker = {"analytic": mod.make_objective_analytic,
+             "fused": mod.make_objective_fused}[opts.objective]
     if opts.study == "d0":
         d3, d5 = mod.generate_data()
-        return mod.make_objective_analytic(d3, d5, pop=8)
+        return maker(d3, d5, 8)
     meas = mod.recover_measurements(
         f"{mod.REFDIR}/r1-bad", mod.CELL5_R1BAD, mod.HH_R1BAD_INIT,
         protocols=("pr3", "pr4"), n_points=30)
     pop = 4 + int(3 * np.log(len(mod.P0)))
-    return mod.make_objective_analytic(meas, pop)
+    return maker(meas, pop)
 
 
 def main():

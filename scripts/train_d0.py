@@ -57,7 +57,7 @@ parser.add_argument("--onchip", action="store_true",
                     help="run the ENTIRE CMA-ES fit device-resident "
                          "(fit.cmaes.cmaes_onchip: jitted lax.scan chunks, "
                          "lookahead dispatch)"
-                         " over the --analytic objective — zero host round "
+                         " over the --analytic (default) or --fused objective — zero host round "
                          "trips between generations (the remote tunnel's "
                          "~25 ms dispatch RTT otherwise dominates a "
                          "converged fit)")
@@ -290,6 +290,7 @@ def make_objective_fused(d3: np.ndarray, d5: np.ndarray, pop: int,
         return np.asarray(batched(jnp.asarray(xs, jnp.float32)),
                           np.float64)[:n]
 
+    objective.device_fn = sse_pop  # jittable [pop, 4] -> [pop] (--onchip)
     return objective
 
 

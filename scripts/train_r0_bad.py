@@ -55,7 +55,7 @@ parser.add_argument("--onchip", action="store_true",
                     help="run the ENTIRE CMA-ES fit device-resident "
                          "(fit.cmaes.cmaes_onchip: jitted lax.scan chunks, "
                          "lookahead dispatch)"
-                         " over the --analytic objective — zero host round "
+                         " over the --analytic (default) or --fused objective — zero host round "
                          "trips between generations")
 args = parser.parse_args()
 OUT = setup(args, "r0-bad")
@@ -294,6 +294,7 @@ def make_objective_fused(meas: dict, pop: int, trips: int = 2048):
         return np.asarray(batched(jnp.asarray(xs, jnp.float32)),
                           np.float64)[:n]
 
+    objective.device_fn = sse_pop  # jittable [pop, 4] -> [pop] (--onchip)
     return objective
 
 
