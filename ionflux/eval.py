@@ -271,6 +271,49 @@ def simulate_population_sharded(kind: str, pop_params,
     return jax.jit(sharded_map(mesh, axis, local))(nets)
 
 
+def _segment_recordings(names: list[str], *, seg_samples: int, chunk: int,
+                        voltages: dict | None = None):
+    """Shared host-side segmentation of the named reconstructed recordings
+    (the prep both simulate_population_real and population_rollout_maes
+    run): equal-rate waveforms padded at their final holding value into
+    knot segments [B, Q, seg+1] plus whole-chunk sample grids
+    [B, Q, n_ch*chunk], so every downstream pass is one dispatch per
+    segment.  Returns (lens, dt, seg, n_seg, n_ch, seg_v, vsegs)."""
+    from ionflux import protorec
+
+    vs, lens = [], []
+    dt = None
+    for n in names:
+        v, dti = (voltages[n] if voltages is not None
+                  else protorec.load_voltage(n))
+        if dt is not None and dti != dt:
+            raise ValueError(
+                f"mixed sample rates: {n} has dt={dti} ms but earlier "
+                f"protocols have dt={dt} ms — all Q rows share one clock")
+        dt = dti
+        vs.append(np.asarray(v, np.float32))
+        lens.append(len(v))
+    max_len = max(lens)
+    seg = min(int(seg_samples), max_len)
+    n_seg = -(-max_len // seg)
+    padded = np.empty((len(names), n_seg * seg + 1), np.float32)
+    for i, v in enumerate(vs):
+        padded[i, :lens[i]] = v
+        padded[i, lens[i]:] = v[-1]
+    seg_v = np.stack([padded[:, b * seg:b * seg + seg + 1]
+                      for b in range(n_seg)])            # [B, Q, seg+1]
+    # per-segment sample voltages, edge-padded to whole chunks so the
+    # jitted currents/reduce pass is ONE dispatch per segment (a python
+    # chunk loop costs ~250 tunnel round-trips)
+    n_ch = -(-seg // chunk)
+    vsegs = np.empty((n_seg, len(names), n_ch * chunk), np.float32)
+    for b in range(n_seg):
+        end = min(b * seg + n_ch * chunk, padded.shape[1])
+        vsegs[b, :, :end - b * seg] = padded[:, b * seg:end]
+        vsegs[b, :, end - b * seg:] = padded[:, -1:]
+    return lens, dt, seg, n_seg, n_ch, seg_v, vsegs
+
+
 def simulate_population_real(kind: str, pop_params, names: list[str],
                              c: Constants, *, trips: int = 6144,
                              seg_samples: int = 103_224,
@@ -294,46 +337,15 @@ def simulate_population_real(kind: str, pop_params, names: list[str],
     {name: (v_samples, dt_ms)} — tiny stand-ins make the segmentation /
     padding / chunk-assembly logic testable in interpret mode where the
     464k-929k-sample recordings are not."""
-    from ionflux import protorec
     from ionflux.ops.pallas_solve import fused_nnf_popsweep_chained
 
     nets, rg, hh = _pop_split(kind, pop_params)
-
-    vs, lens = [], []
-    dt = None
-    for n in names:
-        v, dti = (voltages[n] if voltages is not None
-                  else protorec.load_voltage(n))
-        if dt is not None and dti != dt:
-            raise ValueError(
-                f"mixed sample rates: {n} has dt={dti} ms but earlier "
-                f"protocols have dt={dt} ms — all Q rows share one clock")
-        dt = dti
-        vs.append(np.asarray(v, np.float32))
-        lens.append(len(v))
-    max_len = max(lens)
-    seg = min(int(seg_samples), max_len)
-    n_seg = -(-max_len // seg)
-    padded = np.empty((len(names), n_seg * seg + 1), np.float32)
-    for i, v in enumerate(vs):
-        padded[i, :lens[i]] = v
-        padded[i, lens[i]:] = v[-1]
-    seg_v = np.stack([padded[:, b * seg:b * seg + seg + 1]
-                      for b in range(n_seg)])            # [B, Q, seg+1]
+    lens, dt, seg, n_seg, n_ch, seg_v, vsegs = _segment_recordings(
+        names, seg_samples=seg_samples, chunk=chunk, voltages=voltages)
 
     p_mem = nets[0][0].shape[0]
     out = {n: np.empty((p_mem, ln), np.float32)
            for n, ln in zip(names, lens)}
-
-    # per-segment sample voltages, edge-padded to whole chunks so the
-    # jitted lax.map currents pass is ONE dispatch + ONE transfer per
-    # segment (a python chunk loop costs ~250 tunnel round-trips)
-    n_ch = -(-seg // chunk)
-    vsegs = np.empty((n_seg, len(names), n_ch * chunk), np.float32)
-    for b in range(n_seg):
-        end = min(b * seg + n_ch * chunk, padded.shape[1])
-        vsegs[b, :, :end - b * seg] = padded[:, b * seg:end]
-        vsegs[b, :, end - b * seg:] = padded[:, -1:]
     fin = {}
 
     def consume(b, recs):
@@ -383,6 +395,136 @@ def _popsweep_segment_currents(rec_sc, rec_y, rec_k, n_acc, n_valid, mask,
     ii = jnp.transpose(ii, (1, 2, 0, 3)).reshape(
         ii.shape[1], q_req, n_ch * chunk)
     return jnp.where(mask[:, :q_req, None], ii, jnp.inf)
+
+
+@partial(jax.jit, static_argnames=("rg", "hh", "trips", "rtol", "atol",
+                                   "dt", "t_end", "q_req", "n_ch", "chunk",
+                                   "cull", "interpret"))
+def _popsweep_segment_reduce(nets, vknots, y0, vseg, tseg, wseg,
+                             acc, c, *, rg, hh, trips, rtol, atol, dt,
+                             t_end, q_req, n_ch, chunk, cull, interpret):
+    """ONE chained-validation segment as ONE dispatch: popsweep solve +
+    dense-eval + |pred - truth| reduction + final-state carry, all device
+    side.  Only the [P, Q] partial-sum accumulator (and the carry y0)
+    live between launches, so the host loop never blocks — JAX's async
+    dispatch pipelines the whole segment chain exactly like the on-chip
+    CMA-ES lookahead (fit/cmaes.cmaes_onchip), and one tiny fetch at the
+    end replaces the ~130 MB-per-segment current download that made the
+    round-4 validation chain ~9.8 s wall for ~0.45 s of kernel compute."""
+    from ionflux.ops.pallas_solve import (fused_nnf_popsweep_solve_ft,
+                                          _dense_eval_popsweep_ft)
+
+    recs = fused_nnf_popsweep_solve_ft(
+        nets, rg, vknots, jnp.asarray([t_end], jnp.float32),
+        proto_dt=dt, t_end=t_end, rtol=rtol, atol=atol, trips=trips,
+        base_hh=hh, y0=y0, return_records=True, cull=cull,
+        interpret=interpret)
+
+    def one(ci):
+        ts_c = (ci * chunk + jnp.arange(chunk, dtype=jnp.float32)) * dt
+        ys = _dense_eval_popsweep_ft(recs.rec_sc, recs.rec_y, recs.rec_k,
+                                     recs.n_acc, recs.n_valid, ts_c,
+                                     recs.p, recs.q)[:, :q_req]
+        vv = jax.lax.dynamic_slice(vseg, (0, ci * chunk), (q_req, chunk))
+        ii = gate_current(ys, vv[None], c)               # [P, Qr, chunk]
+        tt = jax.lax.dynamic_slice(tseg, (0, ci * chunk), (q_req, chunk))
+        ww = jax.lax.dynamic_slice(wseg, (0, ci * chunk), (q_req, chunk))
+        # where (not *): a padded/out-of-span sample of a diverging lane
+        # would otherwise contribute inf*0 = NaN
+        err = jnp.where(ww > 0.5, jnp.abs(ii - tt[None]), 0.0)
+        return jnp.sum(err, axis=-1)                     # [P, Qr]
+
+    sums = jnp.sum(jax.lax.map(one, jnp.arange(n_ch)), axis=0)
+    return acc + sums, recs.final_state(t_end), recs.mask[:, :q_req]
+
+
+def population_rollout_maes(kind: str, pop_params, names: list[str],
+                            c: Constants, truth: dict, *,
+                            spans: dict | None = None,
+                            trips: int = 6144,
+                            seg_samples: int = 103_224,
+                            rtol: float = 1e-5, atol: float = 1e-7,
+                            cull: bool = True, interpret: bool = False,
+                            chunk: int = 4096,
+                            voltages: dict | None = None) -> np.ndarray:
+    """Rollout MAEs [P, len(names)] of a POPULATION of nets against
+    per-protocol target traces, with the reduction ON DEVICE (the
+    checkpoint-validation scoring workload; reference analogue
+    train-r1.py:928-959 scores candidates by rollout MAE).  Identical
+    chained-popsweep integration to simulate_population_real, but instead
+    of downloading the full [P, Q, ~1M-sample] current matrix per batch
+    (~1.3 GB at P=64 — the round-4 wall), each segment's
+    |pred - truth| partial sums accumulate in a [P, Q] device carry and
+    the host fetches two tiny arrays at the end.  The segment launches
+    pipeline through JAX async dispatch (the same lookahead principle as
+    fit/cmaes.cmaes_onchip — the host never blocks mid-chain).
+
+    truth[name]: the target trace, >= that protocol's sample count.
+    spans[name]: optional (lo, hi) sample interval to score (table-1's
+    Pr4 scores sweeps 1-3 only); default the protocol's full length.
+    A lane that died at ANY point in the chain scores inf on every
+    protocol (NaN-carry deadness propagation, batched.py semantics);
+    NaN sums (a lane diverging without death) surface as non-finite for
+    the caller's rescore path."""
+    from ionflux.models.registry import HHParams
+
+    nets, rg, hh = _pop_split(kind, pop_params)
+    # the kernel bakes the gate params in as compile-time constants —
+    # pass them static (hashable pure-float NamedTuples), not traced
+    rg = HHParams(*(float(x) for x in rg))
+    hh = None if hh is None else HHParams(*(float(x) for x in hh))
+    lens, dt, seg, n_seg, n_ch, seg_v, vsegs = _segment_recordings(
+        names, seg_samples=seg_samples, chunk=chunk, voltages=voltages)
+    q_req = len(names)
+    p_mem = nets[0][0].shape[0]
+
+    # per-segment truth traces + scoring weights on the same padded
+    # whole-chunk grid as vsegs
+    tsegs = np.zeros((n_seg, q_req, n_ch * chunk), np.float32)
+    wsegs = np.zeros((n_seg, q_req, n_ch * chunk), np.float32)
+    counts = np.empty(q_req, np.float64)
+    for qi, n in enumerate(names):
+        tr = np.asarray(truth[n], np.float32)
+        if tr.shape[0] < lens[qi]:
+            raise ValueError(f"truth[{n!r}] has {tr.shape[0]} samples, "
+                             f"protocol has {lens[qi]}")
+        lo, hi = (spans or {}).get(n, (0, lens[qi]))
+        lo, hi = max(int(lo), 0), min(int(hi), lens[qi])
+        counts[qi] = max(hi - lo, 1)
+        for b in range(n_seg):
+            g0 = b * seg
+            e = min(g0 + n_ch * chunk, lens[qi])
+            if g0 < e:
+                tsegs[b, qi, :e - g0] = tr[g0:e]
+            # score ONLY this segment's own [g0, g0+seg) samples: the
+            # chunk-padding tail past seg re-appears in the NEXT
+            # segment's grid (and this launch's dense eval clamps at
+            # t_end there) — weighting it would double-count
+            slo, shi = max(lo - g0, 0), min(hi - g0, seg)
+            if slo < shi:
+                wsegs[b, qi, slo:shi] = 1.0
+
+    # explicit rest-state y0 (not None) so segment 0 traces the same
+    # program as the rest — one compile for the whole chain
+    y0 = jnp.concatenate([jnp.zeros((p_mem, q_req, 1), jnp.float32),
+                          jnp.ones((p_mem, q_req, 1), jnp.float32)],
+                         axis=-1)
+    acc = jnp.zeros((p_mem, q_req), jnp.float32)
+    mask = None
+    for b in range(n_seg):
+        acc, y0, mask = _popsweep_segment_reduce(
+            nets, jnp.asarray(seg_v[b]), y0,
+            jnp.asarray(vsegs[b]), jnp.asarray(tsegs[b]),
+            jnp.asarray(wsegs[b]), acc, c,
+            rg=rg, hh=hh,
+            trips=int(trips), rtol=float(rtol), atol=float(atol),
+            dt=float(dt), t_end=seg * float(dt), q_req=q_req, n_ch=n_ch,
+            chunk=int(chunk), cull=cull, interpret=interpret)
+    # the LAST segment's mask is the cumulative survival flag (deadness
+    # propagates through the NaN y0 carry) — one fetch ends the chain
+    sums = np.asarray(acc, np.float64)
+    alive = np.asarray(mask)
+    return np.where(alive, sums / counts[None, :], np.inf)
 
 
 def report_mae(name: str, pred: jnp.ndarray, truth: jnp.ndarray,

@@ -399,9 +399,15 @@ def table_rollout_maes_pop(spec: SyntheticStudy, params_list,
     non-finite through the per-checkpoint path: a lane the kernel culled
     for outpacing the shared trip budget may still complete (slowly) on
     its own, exactly as the reference scores it — so inf rows from the
-    batch are a fast negative filter, not a verdict."""
+    batch are a fast negative filter, not a verdict.
+
+    The |pred - truth| reduction runs ON DEVICE
+    (eval.population_rollout_maes): only a [P, Q] MAE matrix crosses the
+    tunnel per batch, and the segment launches pipeline — not the round-4
+    full-current download (~1.3 GB/batch, ~9.8 s wall for ~0.45 s of
+    kernel compute)."""
     from ionflux import protorec
-    from ionflux.eval import simulate_population_real
+    from ionflux.eval import population_rollout_maes
     from ionflux.models.registry import TABLE1
 
     cols = _table_targets(spec, noisy)
@@ -417,15 +423,14 @@ def table_rollout_maes_pop(spec: SyntheticStudy, params_list,
             batch - n_req % batch)
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
     maes = np.empty((len(params_list), len(cols)))
+    truth = {n: _GT_ROLLOUTS[_gt_key(spec, n, noisy)] for _, n, _ in cols}
+    spans = {n: (sl4.start, sl4.stop)
+             for label, n, _ in cols if label == "pr4"}
     for i0 in range(0, len(params_list), batch):
         sub = jax.tree.map(lambda x: x[i0:i0 + batch], stacked)
-        cur = simulate_population_real(spec.model_kind, sub, names, TABLE1,
-                                       rtol=1e-6, atol=1e-8, trips=trips)
-        for j, (label, n, _yc) in enumerate(cols):
-            data = _GT_ROLLOUTS[_gt_key(spec, n, noisy)]
-            sl = sl4 if label == "pr4" else slice(None)
-            maes[i0:i0 + batch, j] = np.mean(
-                np.abs(cur[n][:, sl] - data[None, sl]), axis=1)
+        maes[i0:i0 + batch] = population_rollout_maes(
+            spec.model_kind, sub, names, TABLE1, truth, spans=spans,
+            rtol=1e-6, atol=1e-8, trips=trips)
     out = []
     for k, row in enumerate(maes[:n_req]):
         d = {label: float(row[j])

@@ -501,6 +501,41 @@ def test_simulate_population_real_standin_segmentation():
         assert err < 2e-2 * (i_ref.max() - i_ref.min()), (n, err)
 
 
+def test_population_rollout_maes_matches_host_reduction():
+    """The device-resident validation scoring (eval.population_rollout_maes
+    — solve + |pred-truth| reduce in one dispatch per segment, [P, Q]
+    fetch at the end) must reproduce the host reduction over
+    simulate_population_real's full currents: same chained integration,
+    unequal protocol lengths, a pr4-style scoring span, and the
+    chunk-padding tail must not double-count across segment boundaries."""
+    from ionflux.eval import population_rollout_maes, simulate_population_real
+    from ionflux.models.registry import SYNTHETIC
+
+    pop = jax.vmap(lambda k: nnf_init(k, HH_B06, n_layers=1,
+                                      n_nodes=16))(
+        jax.random.split(jax.random.PRNGKey(1), 2))
+    pa = P.activation_protocol(20.0, dt_ms=1.0)
+    pb = P.activation_protocol(-30.0, dt_ms=1.0)
+    volts = {"a": (np.asarray(pa.v)[:6001], 1.0),
+             "b": (np.asarray(pb.v)[:3501], 1.0)}
+    kw = dict(trips=1024, seg_samples=2048, chunk=512, interpret=True,
+              voltages=volts)
+    cur = simulate_population_real("nnf", pop, ["a", "b"], SYNTHETIC, **kw)
+    rng = np.random.default_rng(0)
+    truth = {n: cur[n][0] + 0.01 * rng.standard_normal(cur[n].shape[1])
+             for n in ("a", "b")}
+    spans = {"b": (500, 3000)}
+    want = np.stack([
+        np.stack([np.mean(np.abs(cur["a"][m] - truth["a"])),
+                  np.mean(np.abs(cur["b"][m, 500:3000]
+                                 - truth["b"][500:3000]))])
+        for m in range(2)])
+    got = population_rollout_maes("nnf", pop, ["a", "b"], SYNTHETIC,
+                                  truth, spans=spans, **kw)
+    assert got.shape == (2, 2)
+    assert np.allclose(got, want, rtol=2e-4, atol=1e-6), (got, want)
+
+
 def test_popsweep_return_records_n_valid_under_jit():
     """The bench roofline pulls the executed-trip count through
     jit(... return_records=True).n_valid (bench.measure_pallas_popsweep) —
