@@ -350,7 +350,7 @@ def _make_kernel_ft(n_layers: int, n_knots_padded: int, t0: float,
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)[0]
 
         def body(i, state):
-            (t, y, f, h, n_acc, alive, t_la, h_la, y_la, ks_la) = state
+            (t, y, f, h, n_acc, alive) = state
             # alive carried as f32 (Mosaic cannot yield i1 vectors from
             # the loop); per-lane death mirrors the popsweep kernel: one
             # divergent protocol lane must not inf the whole family
@@ -392,20 +392,17 @@ def _make_kernel_ft(n_layers: int, n_knots_padded: int, t0: float,
             alive = alive_b.astype(jnp.float32)
             adv = (accept & alive_b)[:, None]                      # [B, 1]
 
-            # masked advance of the last-accepted interpolant
-            t_la = jnp.where(accept, t, t_la)
-            h_la = jnp.where(accept, h_eff, h_la)
-            y_la = jnp.where(accept, _pad_bt(y), y_la)
-            ks_new = jnp.stack([_pad_bt(k) for k in ks])       # [7, 2, 128]
-            ks_la = jnp.where(accept, ks_new, ks_la)
-
-            # unconditional record write at the block-local trip index
-            # (VMEM ring; DMA'd to HBM once per block)
-            sc = jnp.where(lane128 == 0, t_la,
-                           jnp.where(lane128 == 1, h_la, 0.0))
+            # record THIS trip's attempt unconditionally at the block-local
+            # trip index (VMEM ring; DMA'd to HBM once per block): dense
+            # eval's searchsorted(side='right') always lands on an ACCEPTED
+            # slot — see the popsweep kernel's record comment.  No
+            # last-accepted carry, no per-trip whole-buffer selects.
+            sc = jnp.where(lane128 == 0, t,
+                           jnp.where(lane128 == 1, h_eff, 0.0))
             vm_sc[pl.ds(i, 1), :] = sc[None]
-            vm_y[pl.ds(i, 1), :, :] = y_la[None]
-            vm_k[pl.ds(i, 1), :, :, :] = ks_la[None]
+            vm_y[pl.ds(i, 1), :, :] = _pad_bt(y)[None]
+            vm_k[pl.ds(i, 1), :, :, :] = jnp.stack(
+                [_pad_bt(k) for k in ks])[None]                # [7, 2, 128]
 
             t = jnp.where(accept, t + h_eff, t)
             y = jnp.where(adv, y1, y)
@@ -416,14 +413,13 @@ def _make_kernel_ft(n_layers: int, n_knots_padded: int, t0: float,
             # ratio == sentinel -> factor ~9e-9 -> clipped to _MINF
             h = h_eff * jnp.clip(factor, _MINF,
                                  jnp.where(accept, _MAXF, 1.0))
-            return (t, y, f, h, n_acc, alive, t_la, h_la, y_la, ks_la)
+            return (t, y, f, h, n_acc, alive)
 
         # lanes whose RHS is non-finite at rest are dead from the start
         alive0 = jnp.all(jnp.isfinite(f0), axis=-1)
         f0 = jnp.where(alive0[:, None], f0, 0.0)
         init = (jnp.float32(t0), y0, f0, jnp.float32(dt_knot * 10.0),
-                jnp.int32(0), alive0.astype(jnp.float32), jnp.float32(t0),
-                jnp.float32(1e-8), _pad_bt(y0), jnp.stack([_pad_bt(f0)] * 7))
+                jnp.int32(0), alive0.astype(jnp.float32))
 
         # two-level loop: the inner fori block is straight-line (Mosaic
         # pipelines it); the outer while adds ONE data-dependent check and
@@ -460,7 +456,7 @@ def _make_kernel_ft(n_layers: int, n_knots_padded: int, t0: float,
             c2.wait()
             return blk + 1, st
 
-        _blk, (t, y, f, h, n_acc, alive, t_la, h_la, y_la, ks_la) = (
+        _blk, (t, y, f, h, n_acc, alive) = (
             jax.lax.while_loop(blk_cond, blk_body, (jnp.int32(0), init)))
         # records past the early-exit point hold stale garbage; phase 2
         # masks them out via the valid-trip count
@@ -659,7 +655,7 @@ def _make_kernel_pop_ft(n_layers: int, n_knots_padded: int, t0: float,
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)[0]
 
         def body(i, state):
-            (t, y, f, h, n_acc, alive, t_la, h_la, y_la, ks_la) = state
+            (t, y, f, h, n_acc, alive) = state
             # alive carried as f32 (Mosaic cannot yield i1 vectors from
             # the loop); per-lane death mirrors the popsweep kernel: one
             # divergent CMA-ES member must not erase the generation's
@@ -693,16 +689,14 @@ def _make_kernel_pop_ft(n_layers: int, n_knots_padded: int, t0: float,
             alive_b = alive_b & (lane_pass | (h_eff > 2e-7))
             alive = alive_b.astype(jnp.float32)
             adv = (accept & alive_b)[:, None]                      # [B, 1]
-            t_la = jnp.where(accept, t, t_la)
-            h_la = jnp.where(accept, h_eff, h_la)
-            y_la = jnp.where(accept, _pad_bt(y), y_la)
-            ks_new = jnp.stack([_pad_bt(k) for k in ks])
-            ks_la = jnp.where(accept, ks_new, ks_la)
-            sc = jnp.where(lane128 == 0, t_la,
-                           jnp.where(lane128 == 1, h_la, 0.0))
+            # record THIS trip's attempt (popsweep kernel record comment:
+            # searchsorted(side='right') always lands on an accepted slot)
+            sc = jnp.where(lane128 == 0, t,
+                           jnp.where(lane128 == 1, h_eff, 0.0))
             vm_sc[pl.ds(i, 1), :] = sc[None]
-            vm_y[pl.ds(i, 1), :, :] = y_la[None]
-            vm_k[pl.ds(i, 1), :, :, :] = ks_la[None]
+            vm_y[pl.ds(i, 1), :, :] = _pad_bt(y)[None]
+            vm_k[pl.ds(i, 1), :, :, :] = jnp.stack(
+                [_pad_bt(k) for k in ks])[None]
             t = jnp.where(accept, t + h_eff, t)
             y = jnp.where(adv, y1, y)
             f = jnp.where(adv, ks[6], f)
@@ -712,14 +706,13 @@ def _make_kernel_pop_ft(n_layers: int, n_knots_padded: int, t0: float,
             # ratio == sentinel -> factor ~9e-9 -> clipped to _MINF
             h = h_eff * jnp.clip(factor, _MINF,
                                  jnp.where(accept, _MAXF, 1.0))
-            return (t, y, f, h, n_acc, alive, t_la, h_la, y_la, ks_la)
+            return (t, y, f, h, n_acc, alive)
 
         # members whose RHS is non-finite at rest are dead from the start
         alive0 = jnp.all(jnp.isfinite(f0), axis=-1)
         f0 = jnp.where(alive0[:, None], f0, 0.0)
         init = (jnp.float32(t0), y0, f0, jnp.float32(dt_knot * 10.0),
-                jnp.int32(0), alive0.astype(jnp.float32), jnp.float32(t0),
-                jnp.float32(1e-8), _pad_bt(y0), jnp.stack([_pad_bt(f0)] * 7))
+                jnp.int32(0), alive0.astype(jnp.float32))
         block = 256
         assert trips % block == 0
         n_blocks = trips // block
@@ -888,8 +881,7 @@ def _make_kernel_hh_ft(n_knots_padded: int, t0: float, dt_knot: float,
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)[0]
 
         def body(i, state):
-            (t, y, f, h, n_acc, alive, t_la, h_la, y_la, ks_la,
-             _r_prev) = state
+            (t, y, f, h, n_acc, alive, _r_prev) = state
             # per-lane death mirrors _make_kernel_pop_ft: one divergent
             # CMA-ES candidate must not erase the generation's ranking
             alive_b = alive > 0.5
@@ -920,16 +912,14 @@ def _make_kernel_hh_ft(n_knots_padded: int, t0: float, dt_knot: float,
             alive_b = alive_b & (lane_pass | (h_eff > 2e-7))
             alive = alive_b.astype(jnp.float32)
             adv = (accept & alive_b)[:, None]                      # [B, 1]
-            t_la = jnp.where(accept, t, t_la)
-            h_la = jnp.where(accept, h_eff, h_la)
-            y_la = jnp.where(accept, _pad_bt(y), y_la)
-            ks_new = jnp.stack([_pad_bt(k) for k in ks])
-            ks_la = jnp.where(accept, ks_new, ks_la)
-            sc = jnp.where(lane128 == 0, t_la,
-                           jnp.where(lane128 == 1, h_la, 0.0))
+            # record THIS trip's attempt (popsweep kernel record comment:
+            # searchsorted(side='right') always lands on an accepted slot)
+            sc = jnp.where(lane128 == 0, t,
+                           jnp.where(lane128 == 1, h_eff, 0.0))
             vm_sc[pl.ds(i, 1), :] = sc[None]
-            vm_y[pl.ds(i, 1), :, :] = y_la[None]
-            vm_k[pl.ds(i, 1), :, :, :] = ks_la[None]
+            vm_y[pl.ds(i, 1), :, :] = _pad_bt(y)[None]
+            vm_k[pl.ds(i, 1), :, :, :] = jnp.stack(
+                [_pad_bt(k) for k in ks])[None]
             t = jnp.where(accept, t + h_eff, t)
             y = jnp.where(adv, y1, y)
             f = jnp.where(adv, ks[6], f)
@@ -938,8 +928,7 @@ def _make_kernel_hh_ft(n_knots_padded: int, t0: float, dt_knot: float,
                 -0.2 * jnp.log(jnp.maximum(ratio, 1e-10)))
             h = h_eff * jnp.clip(factor, _MINF,
                                  jnp.where(accept, _MAXF, 1.0))
-            return (t, y, f, h, n_acc, alive, t_la, h_la, y_la, ks_la,
-                    r_c)
+            return (t, y, f, h, n_acc, alive, r_c)
 
         # lanes arriving non-finite (chained carry marks dead lanes NaN)
         # or with a non-finite rest RHS are dead from the start
@@ -950,8 +939,7 @@ def _make_kernel_hh_ft(n_knots_padded: int, t0: float, dt_knot: float,
              jnp.ones((b, 1), jnp.float32)], axis=1))
         f0 = jnp.where(alive0[:, None], f0, 0.0)
         init = (jnp.float32(t0), y0, f0, jnp.float32(dt_knot * 10.0),
-                jnp.int32(0), alive0.astype(jnp.float32), jnp.float32(t0),
-                jnp.float32(1e-8), _pad_bt(y0), jnp.stack([_pad_bt(f0)] * 7),
+                jnp.int32(0), alive0.astype(jnp.float32),
                 jnp.zeros((b,), jnp.float32))
         block = 256
         assert trips % block == 0
@@ -987,7 +975,7 @@ def _make_kernel_hh_ft(n_knots_padded: int, t0: float, dt_knot: float,
             frac_spent = spent / float(trips)
             t_frac = (st[0] - t0) / (t_end - t0)
             behind = (frac_spent >= 0.5) & (t_frac < frac_spent - 0.3)
-            cand = (behind & (st[10] > 0.01)).astype(jnp.float32)
+            cand = (behind & (st[6] > 0.01)).astype(jnp.float32)
             alive_new = jnp.where((cand > 0.5) & (pend > 0.5), 0.0, st[5])
             st = st[:5] + (alive_new,) + st[6:]
             pend = cand
@@ -1217,8 +1205,7 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)[0]
 
         def body(i, state):
-            (t, y, f, h, n_acc, alive, t_la, h_la, y_la, ks_la,
-             _r_prev) = state
+            (t, y, f, h, n_acc, alive, _r_prev) = state
             # alive carried as f32 (Mosaic cannot yield i1 vectors from
             # the loop: scf.yield legalization failure on chip)
             alive_b = alive > 0.5
@@ -1262,16 +1249,23 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
             alive_b = alive_b & (lane_pass | (h_eff > 2e-7))
             alive = alive_b.astype(jnp.float32)
             adv = (accept & alive_b)[..., None]                     # [P,Q,1]
-            t_la = jnp.where(accept, t, t_la)
-            h_la = jnp.where(accept, h_eff, h_la)
-            y_la = jnp.where(accept, _pad_rec(y), y_la)
-            ks_new = jnp.stack([_pad_rec(k) for k in ks])   # [7, Q*2, 128]
-            ks_la = jnp.where(accept, ks_new, ks_la)
-            sc = jnp.where(lane128 == 0, t_la,
-                           jnp.where(lane128 == 1, h_la, 0.0))
+            # record THIS trip's attempt (start t, step, start y, stages)
+            # rather than carrying a last-accepted snapshot: dense eval's
+            # searchsorted(side="right") always lands on an ACCEPTED slot
+            # — rejected trips re-record the same start t, and the accept
+            # that ends the streak is the LAST slot at that t before t
+            # advances (tail micro-trips past t_end accept by
+            # construction).  Dropping the [7, 2Q, 128] last-accept carry
+            # (and its per-trip whole-buffer selects) is what breaks the
+            # register-allocator spill wall at 2Q sublanes (VERDICT r4
+            # next #3: 73 MB of spill slots at Q=64 were exactly this
+            # carried RK state).
+            sc = jnp.where(lane128 == 0, t,
+                           jnp.where(lane128 == 1, h_eff, 0.0))
             vm_sc[pl.ds(i, 1), :] = sc[None]
-            vm_y[pl.ds(i, 1), :, :] = y_la[None]
-            vm_k[pl.ds(i, 1), :, :, :] = ks_la[None]
+            vm_y[pl.ds(i, 1), :, :] = _pad_rec(y)[None]
+            vm_k[pl.ds(i, 1), :, :, :] = jnp.stack(
+                [_pad_rec(k) for k in ks])[None]            # [7, Q*2, 128]
             t = jnp.where(accept, t + h_eff, t)
             y = jnp.where(adv, y1, y)
             f = jnp.where(adv, ks[6], f)
@@ -1282,7 +1276,7 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
             # bad-lane case needs no special path
             h = h_eff * jnp.clip(factor, _MINF,
                                  jnp.where(accept, _MAXF, 1.0))
-            return (t, y, f, h, n_acc, alive, t_la, h_la, y_la, ks_la, r_c)
+            return (t, y, f, h, n_acc, alive, r_c)
 
         # lanes arriving non-finite (chained carry marks dead lanes NaN)
         # are dead from the start; their state resets to rest so the RHS
@@ -1294,9 +1288,7 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
              jnp.ones((p, q), jnp.float32)], axis=-1))
         f0 = jnp.where(alive0[..., None], f0, 0.0)
         init = (jnp.float32(t0), y0, f0, jnp.float32(dt_knot * 10.0),
-                jnp.int32(0), alive0.astype(jnp.float32), jnp.float32(t0),
-                jnp.float32(1e-8), _pad_rec(y0),
-                jnp.stack([_pad_rec(f0)] * 7),
+                jnp.int32(0), alive0.astype(jnp.float32),
                 jnp.zeros((p, q), jnp.float32))
         assert trips % block == 0
         n_blocks = trips // block
@@ -1336,7 +1328,7 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
                 # cap its implied step at 100x h and cull it alongside the
                 # grinder
                 h_lane = st[3] * jnp.exp(
-                    -0.2 * jnp.log(jnp.maximum(st[10], 1e-30)))
+                    -0.2 * jnp.log(jnp.maximum(st[6], 1e-30)))
                 behind = (frac_spent >= 0.5) & (t_frac < frac_spent - 0.3)
                 cand = (behind & (h_lane < 0.3 * pace)).astype(jnp.float32)
                 alive_new = jnp.where((cand > 0.5) & (pend > 0.5), 0.0,

@@ -164,6 +164,33 @@ def test_bench_popsweep_headline_promotion():
     assert "headline_kernel" not in rec2
 
 
+def test_bench_chained_headline_fold():
+    """A measured chained-dispatch result rebases the popsweep headline
+    fields onto the per-launch chained time (VERDICT r4 next #2); a
+    slower-than-single chained result changes nothing."""
+    import bench
+
+    rec = {"pallas_popsweep_solves_per_sec": 10000.0,
+           "pallas_popsweep_mfu_bf16_peak": 0.31,
+           "pallas_popsweep_achieved_gflops": 61000.0,
+           "pallas_popsweep_us_per_trip": 80.0,
+           "pallas_popsweep_chained_solves_per_sec": 11000.0,
+           "pallas_popsweep_chain_k": 4}
+    bench._apply_chained_headline(rec)
+    assert rec["pallas_popsweep_solves_per_sec"] == 11000.0
+    assert rec["pallas_popsweep_single_launch_solves_per_sec"] == 10000.0
+    assert rec["pallas_popsweep_dispatch"] == "chained-scan-k4"
+    assert abs(rec["pallas_popsweep_mfu_bf16_peak"] - 0.341) < 1e-9
+    assert abs(rec["pallas_popsweep_us_per_trip"]
+               - 80.0 / 1.1) < 0.01
+
+    rec2 = {"pallas_popsweep_solves_per_sec": 10000.0,
+            "pallas_popsweep_chained_solves_per_sec": 9000.0}
+    bench._apply_chained_headline(rec2)
+    assert rec2["pallas_popsweep_solves_per_sec"] == 10000.0
+    assert "pallas_popsweep_dispatch" not in rec2
+
+
 def test_bench_carries_missing_metric_families(tmp_path, monkeypatch):
     """A budget squeeze that skips an optional metric family on a
     successful TPU run must not silently drop it from BENCH_TPU_LAST:
