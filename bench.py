@@ -382,7 +382,12 @@ def measure_pallas_popsweep() -> dict:
     Q=32 rides the round-4 fold_bias unlock (the old Q<=8 Mosaic ceiling
     was the bias-broadcast fault, scripts/probe_mosaic_bias_fault.py);
     chip-measured Q=8/16/32 -> 3,805/6,249/9,690 solves/s synced on this
-    aligned-boundary family at the same trip budget."""
+    aligned-boundary family at the same trip budget.  Round 5: the
+    record-remat kernel (record each trip's own attempt, drop the
+    last-accept carry) plus bf16-stored weights — which NOW pay off,
+    69.3 vs 81.0 us/trip, because remat shrank the f32 stage state the
+    weights used to hide behind — chip-measured 11,834 solves/s synced
+    at this config (out/d0-onchip/popsweep-remat.jsonl)."""
     import jax
     import jax.numpy as jnp
 
@@ -410,7 +415,7 @@ def measure_pallas_popsweep() -> dict:
     m_budget = float(os.environ.get("IONFLUX_MEASURE_BUDGET", "210"))
     fused = jax.jit(lambda ns: fused_nnf_popsweep_solve_ft(
         [(w, bb) for w, bb in ns], HH_B06, protos_v, ts, proto_dt=0.1,
-        trips=4096, t_end=8000.0))
+        trips=4096, t_end=8000.0, mxu_bf16=True))
     t_w = time.perf_counter()
     ys = fused(pop_net)
     ys.block_until_ready()
@@ -445,7 +450,8 @@ def measure_pallas_popsweep() -> dict:
     else:
         stats = jax.jit(lambda ns: fused_nnf_popsweep_solve_ft(
             [(w, bb) for w, bb in ns], HH_B06, protos_v, ts, proto_dt=0.1,
-            trips=4096, t_end=8000.0, return_records=True).n_valid)
+            trips=4096, t_end=8000.0, mxu_bf16=True,
+            return_records=True).n_valid)
         n_trips = int(stats(pop_net))
     flops = n_trips * EVALS_PER_STEP * p_mem * q * FLOPS_PER_EVAL_PER_LANE
     mfu = flops / dt / PEAK_BF16_FLOPS
@@ -463,6 +469,7 @@ def measure_pallas_popsweep() -> dict:
         f"{mfu_pipe*100:.3f}% pipelined of bf16 peak")
     return {"pallas_popsweep_solves_per_sec": round(sps, 1),
             "pallas_popsweep_dispatch": "single-launch",
+            "pallas_popsweep_mxu_bf16": True,
             "pallas_popsweep_members": p_mem,
             "pallas_popsweep_protocols": q,
             "pallas_popsweep_rep_seconds": reps,
@@ -513,7 +520,7 @@ def measure_pallas_popsweep_chained() -> dict:
     def _gen(carry, nets_k):
         ys_k = fused_nnf_popsweep_solve_ft(
             [(w, bb) for w, bb in nets_k], HH_B06, protos_v, ts,
-            proto_dt=0.1, trips=4096, t_end=8000.0)
+            proto_dt=0.1, trips=4096, t_end=8000.0, mxu_bf16=True)
         return carry, ys_k[:, :, -1, 0].mean()
 
     chained = jax.jit(lambda s: jax.lax.scan(_gen, jnp.float32(0.0), s)[1])

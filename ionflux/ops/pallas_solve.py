@@ -1379,6 +1379,7 @@ def fused_nnf_popsweep_solve_ft(
     return_records: bool = False,
     cull: bool = True,
     mxu_bf16: bool = False,
+    vmem_limit_mb: int = 100,
     interpret: bool = False,
 ):
     """Fixed-trip fused solve for P member nets x Q protocols concurrently
@@ -1505,7 +1506,11 @@ def fused_nnf_popsweep_solve_ft(
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=100 * 1024 * 1024),
+            # v5e VMEM is 128 MB; the default 100 MB cap leaves scheduler
+            # headroom.  Frontier configs (2Q=128 sublanes of RK state)
+            # need ~105 MB scoped stack — callers may raise the cap to
+            # trade DMA-overlap headroom for a compile (round-5 probe).
+            vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024),
         interpret=interpret,
     )(vpad, y0_pack, *ws, *bs)
 

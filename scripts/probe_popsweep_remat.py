@@ -44,9 +44,15 @@ opts = ap.parse_args()
 
 
 def run_one(cfg: str, trips: int, reps: int) -> dict:
-    pq, _, flag = cfg.partition(":")
-    p_mem, q = (int(x) for x in pq.split("x"))
-    mxu_bf16 = flag == "bf16"
+    parts = cfg.split(":")
+    p_mem, q = (int(x) for x in parts[0].split("x"))
+    mxu_bf16 = "bf16" in parts[1:]
+    # :vNNN raises the kernel's scoped-VMEM cap (MB) — v5e has 128 MB;
+    # the 64x64 f32 frontier config needs 105.05M vs the 100M default
+    vmem_mb = 100
+    for f in parts[1:]:
+        if f.startswith("v") and f[1:].isdigit():
+            vmem_mb = int(f[1:])
 
     import jax
     import jax.numpy as jnp
@@ -75,7 +81,8 @@ def run_one(cfg: str, trips: int, reps: int) -> dict:
 
     fused = jax.jit(lambda ns: pallas_solve.fused_nnf_popsweep_solve_ft(
         [(w, bb) for w, bb in ns], HH_B06, protos_v, ts, proto_dt=0.1,
-        trips=trips, t_end=8000.0, mxu_bf16=mxu_bf16))
+        trips=trips, t_end=8000.0, mxu_bf16=mxu_bf16,
+        vmem_limit_mb=vmem_mb))
     t_w = time.perf_counter()
     ys = fused(pop_net)
     # value fetch IS the sync (axon block_until_ready is unreliable)
@@ -98,6 +105,7 @@ def run_one(cfg: str, trips: int, reps: int) -> dict:
     stats = jax.jit(lambda ns: pallas_solve.fused_nnf_popsweep_solve_ft(
         [(w, bb) for w, bb in ns], HH_B06, protos_v, ts, proto_dt=0.1,
         trips=trips, t_end=8000.0, mxu_bf16=mxu_bf16,
+        vmem_limit_mb=vmem_mb,
         return_records=True).n_valid)
     n_trips = int(stats(pop_net))
     flops = (n_trips * bench.EVALS_PER_STEP * p_mem * q
@@ -105,6 +113,7 @@ def run_one(cfg: str, trips: int, reps: int) -> dict:
     return {
         "case": "popsweep-remat", "config": cfg,
         "members": p_mem, "protocols": q, "mxu_bf16": mxu_bf16,
+        "vmem_limit_mb": vmem_mb,
         "trips_budget": trips, "trips_executed": n_trips,
         "finite": finite, "warm_first_s": round(warm_s, 2),
         "median_s": round(dt, 4),
