@@ -226,7 +226,23 @@ def test_hh_analytic_chip_matches_host_oracle():
         out.append(y)
     oracle = np.array(out)
     err = np.abs(ys - oracle).max()
-    assert err < 2e-4, err
+    # the interval-composed path compounds one f32 rounding per interval
+    # (30k here); its drift class is ~1e-4..1e-3 and it is SUPERSEDED by
+    # the segment-exact form for the shipped objectives (ROADMAP round 4).
+    # This gate only guards the round-4 exp/expm1 accuracy fix — without
+    # _expm1_accurate the chip error is ~0.2, three orders worse.
+    assert err < 1e-3, err
+
+    # the SHIPPED path (--analytic/--onchip objectives): segment-exact
+    # closed forms, one expm1 per knot from its segment-start state — no
+    # compounding, so the chip must match the f64 oracle to f32 precision
+    from ionflux.solver.analytic import hh_solve_analytic_seg
+
+    with jax.default_device(tpu()):
+        ys_seg = np.asarray(hh_solve_analytic_seg(
+            jnp.asarray(p, jnp.float32), jnp.asarray(v), 0.1))
+    err_seg = np.abs(ys_seg - oracle).max()
+    assert err_seg < 5e-6, err_seg
 
 
 def test_popsweep_lane_death_mosaic():
