@@ -884,6 +884,86 @@ def _run_measure_subprocess(backend: str, timeout_s: float):
         return None, f"{backend} measurement produced no parseable value"
 
 
+# post-headline metric families, cheap/high-value first: a budget squeeze
+# or kill costs the expensive tail, not the driver-named epoch metric.
+# Rough warm per-family costs (import amortized ONCE by --measure multi —
+# the per-family-subprocess design paid ~50 s of jax+axon init 4x over,
+# which is why round-4/5 captures kept carrying families).
+MULTI_FAMILIES = ("epoch", "popsweep-chained", "pallas", "tpu")
+_MULTI_COST = {"epoch": 50.0, "popsweep-chained": 50.0, "pallas": 60.0,
+               "tpu": 120.0}
+
+
+def _run_multi_subprocess(timeout_s: float):
+    """Run ALL post-headline metric families in ONE subprocess (one jax
+    import + axon init instead of four).  The child prints one JSON line
+    per family as it lands, so a timeout kill salvages every family that
+    finished (subprocess.TimeoutExpired carries the partial stdout).
+    Returns (dict family -> record, error | None)."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--measure", "multi"]
+    env = dict(os.environ)
+    # self-limit below the parent's kill: import + first-warm margin
+    env["IONFLUX_MULTI_BUDGET"] = str(max(60.0, timeout_s - 50.0))
+    err = None
+    try:
+        res = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=timeout_s, env=env)
+        out, stderr = res.stdout, res.stderr
+        if res.returncode != 0:
+            tail = (stderr or "").strip().splitlines()[-1:] or ["no stderr"]
+            err = f"multi measurement rc={res.returncode}: {tail[0]}"
+    except subprocess.TimeoutExpired as exc:
+        def _s(b):
+            return b.decode(errors="replace") if isinstance(b, bytes) \
+                else (b or "")
+        out, stderr = _s(exc.stdout), _s(exc.stderr)
+        err = f"multi measurement timed out after {timeout_s:.0f}s"
+    sys.stderr.write(stderr or "")
+    fams = {}
+    for line in (out or "").splitlines():
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(rec, dict) and "_family" in rec:
+            fam = rec.pop("_family")
+            if rec.pop("_skipped", None):
+                log(f"multi: family {fam} self-skipped (budget)")
+            elif (e := rec.pop("_error", None)) is not None:
+                log(f"multi: family {fam} failed: {e}")
+            else:
+                fams[fam] = rec
+    return fams, err
+
+
+def _measure_multi():
+    """Child side of --measure multi: run each family in-process under a
+    shared deadline, one tagged JSON line each, failures isolated."""
+    t0 = time.monotonic()
+    deadline = float(os.environ.get("IONFLUX_MULTI_BUDGET", "420"))
+    fns = {"epoch": measure_epoch, "pallas": measure_pallas_sweep,
+           "popsweep-chained": measure_pallas_popsweep_chained,
+           "tpu": measure_tpu}
+    for fam in MULTI_FAMILIES:
+        left = deadline - (time.monotonic() - t0)
+        if left < _MULTI_COST[fam]:
+            print(json.dumps({"_family": fam, "_skipped": "multi budget"}),
+                  flush=True)
+            continue
+        # each family self-limits inside what remains (they all read
+        # IONFLUX_MEASURE_BUDGET at call time)
+        os.environ["IONFLUX_MEASURE_BUDGET"] = str(max(40.0, left - 30.0))
+        try:
+            rec = fns[fam]()
+            print(json.dumps({"_family": fam, **rec}), flush=True)
+        except Exception as exc:  # noqa: BLE001 - isolate family failures
+            print(json.dumps({"_family": fam,
+                              "_error": f"{type(exc).__name__}: "
+                                        f"{str(exc)[:200]}"}), flush=True)
+
+
 def _probe_backend(timeout_s: float):
     """Bounded TPU-backend liveness check (a dead axon tunnel hangs
     jax.devices() indefinitely — never probe in-process).
@@ -1100,14 +1180,25 @@ def main():
         if head is None and herr:
             errors.append(herr)
             log(f"headline-first popsweep attempt failed: {herr}")
-        tmo = max(120.0, remaining() - cpu_reserve)
-        os.environ["IONFLUX_MEASURE_BUDGET"] = str(max(90.0, tmo * 0.45))
-        rec, err = _run_measure_subprocess("tpu", tmo)
-        if rec is None:
-            errors.append(err)
-            log(f"bench attempt failed: {err}")
+        # all remaining families in ONE subprocess (one jax import + axon
+        # init instead of four ~50 s ones — the per-family-subprocess
+        # design is why round-4/5 captures kept carrying families).  Once
+        # the headline landed the tunnel is proven alive, so the CPU
+        # fallback reserve is released to the measurement window.
+        reserve = 40.0 if head is not None else cpu_reserve
+        tmo = max(120.0, remaining() - reserve)
+        fams, merr = _run_multi_subprocess(tmo)
+        if merr:
+            errors.append(merr)
+            log(f"multi measure: {merr}")
+        rec = fams.get("tpu")
+        if rec is None and head is None:
+            # nothing landed at all — one single-family retry for the
+            # scaling probe before surrendering to the CPU fallback
             retry_tmo = remaining() - cpu_reserve
             if retry_tmo > 120.0:
+                os.environ["IONFLUX_MEASURE_BUDGET"] = str(
+                    max(90.0, retry_tmo * 0.45))
                 rec, err = _run_measure_subprocess("tpu", retry_tmo)
                 if err:
                     errors.append(err)
@@ -1116,25 +1207,26 @@ def main():
             rec.update(head)
         elif rec is None and head is not None:
             # the scaling probe never landed but the headline did — emit a
-            # headline-only TPU capture rather than surrender the round
-            rec = {"note": ("headline-only capture: lockstep scaling "
-                            "probe timed out under a degraded tunnel"),
+            # TPU capture anyway rather than surrender the round
+            rec = {"note": ("lockstep scaling probe did not land this "
+                            "capture (degraded tunnel or budget)"),
                    **head}
-            log("emitting headline-only popsweep capture (scaling probe "
-                "timed out)")
+            log("scaling probe missing; emitting capture from the "
+                "headline + landed families")
         if rec is not None:
-            # second metric: the fused Pallas protocol-sweep solve — bounded
-            # so a cache-miss compile can never cost the headline datum
-            if remaining() > 150.0:
+            # second metric: the fused Pallas protocol-sweep solve — its
+            # cache-miss compile must never cost the headline datum
+            if "pallas" in fams:
+                rec.update(fams["pallas"])
+            elif remaining() > 150.0:
                 prec, perr = _run_measure_subprocess(
                     "pallas", max(120.0, remaining() - 30.0))
                 if prec is not None:
                     rec.update(prec)
                 elif perr:
                     log(f"pallas sweep metric skipped: {perr}")
-            # third metric: population x protocol-sweep kernel (bounded the
-            # same way; its cache-miss Mosaic compile takes minutes) —
-            # unless the headline-only fallback already measured it
+            # third metric: population x protocol-sweep kernel — only if
+            # the headline-first attempt didn't already measure it
             if (remaining() > 150.0
                     and "pallas_popsweep_solves_per_sec" not in rec):
                 prec, perr = _run_measure_subprocess(
@@ -1143,11 +1235,12 @@ def main():
                     rec.update(prec)
                 elif perr:
                     log(f"pallas popsweep metric skipped: {perr}")
-            # chained-dispatch headline refinement (VERDICT r4 next #2):
-            # own bounded subprocess AFTER the single-launch headline is
-            # safe — its first-ever Mosaic compile takes minutes and a
-            # kill here must not cost the headline
-            if (remaining() > 150.0
+            # chained-dispatch headline refinement (VERDICT r4 next #2)
+            if ("popsweep-chained" in fams
+                    and rec.get("pallas_popsweep_solves_per_sec")):
+                rec.update(fams["popsweep-chained"])
+                _apply_chained_headline(rec)
+            elif (remaining() > 150.0
                     and rec.get("pallas_popsweep_solves_per_sec")):
                 tmo_c = max(120.0, remaining() - 30.0)
                 os.environ["IONFLUX_MEASURE_BUDGET"] = str(
@@ -1163,17 +1256,18 @@ def main():
             # fourth metric: NN-f sinewave training-epoch time — the
             # metric BASELINE.json names (400 surface-Adam iters + the
             # 2-rollout validation solve)
-            if remaining() > 120.0:
+            prec = fams.get("epoch")
+            if prec is None and remaining() > 120.0:
                 prec, perr = _run_measure_subprocess(
                     "epoch", max(100.0, remaining() - 30.0))
-                if prec is not None:
-                    eb = get_epoch_baseline()
-                    if eb and prec.get("nnf_sinewave_epoch_time"):
-                        prec["nnf_sinewave_epoch_vs_baseline"] = round(
-                            eb / prec["nnf_sinewave_epoch_time"], 1)
-                    rec.update(prec)
-                elif perr:
+                if perr:
                     log(f"epoch metric skipped: {perr}")
+            if prec is not None:
+                eb = get_epoch_baseline()
+                if eb and prec.get("nnf_sinewave_epoch_time"):
+                    prec["nnf_sinewave_epoch_vs_baseline"] = round(
+                        eb / prec["nnf_sinewave_epoch_time"], 1)
+                rec.update(prec)
             _carry_missing_families(rec)
             try:
                 with open(TPU_LAST_FILE, "w") as fh:
@@ -1250,6 +1344,9 @@ if __name__ == "__main__":
         dry_run()
     elif "--measure" in sys.argv:
         backend = sys.argv[sys.argv.index("--measure") + 1]
+        if backend == "multi":
+            _measure_multi()
+            sys.exit(0)
         if backend == "pallas":
             rec = measure_pallas_sweep()
         elif backend == "popsweep":
