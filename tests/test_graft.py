@@ -297,6 +297,50 @@ def test_bench_headline_only_fallback_on_degraded_tunnel(tmp_path,
     assert written["nnf_sinewave_epoch_time"] == 0.1653
 
 
+def test_bench_measure_multi_child_isolates_and_budget_skips(monkeypatch,
+                                                             capsys):
+    """The --measure multi child must (a) print one tagged JSON line per
+    family, (b) isolate a family that raises, and (c) self-skip families
+    the shared deadline can no longer afford instead of being killed
+    mid-measurement."""
+    import bench
+
+    monkeypatch.setattr(bench, "measure_epoch",
+                        lambda: {"nnf_sinewave_epoch_time": 0.1})
+    monkeypatch.setattr(bench, "measure_pallas_popsweep_chained",
+                        lambda: (_ for _ in ()).throw(RuntimeError("boom")))
+    monkeypatch.setattr(bench, "measure_pallas_sweep",
+                        lambda: {"pallas_sweep_solves_per_sec": 4500.0})
+    monkeypatch.setattr(bench, "measure_tpu",
+                        lambda: {"solves_per_sec": 600.0})
+    # mocks run instantly, so "left" stays ~the budget: 100 s affords the
+    # epoch/chained/pallas cost floors (50/50/60) but not tpu's 120
+    monkeypatch.setenv("IONFLUX_MULTI_BUDGET", "100")
+    bench._measure_multi()
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    by_fam = {l["_family"]: l for l in lines}
+    assert by_fam["epoch"]["nnf_sinewave_epoch_time"] == 0.1
+    assert "boom" in by_fam["popsweep-chained"]["_error"]
+    assert by_fam["pallas"]["pallas_sweep_solves_per_sec"] == 4500.0
+    assert by_fam["tpu"]["_skipped"]
+    # the parent-side parser folds these lines into a family dict
+    import subprocess
+
+    def fake_run(cmd, capture_output, text, timeout, env):
+        class R:
+            returncode = 0
+            stdout = "\n".join(json.dumps(l) for l in lines)
+            stderr = ""
+        return R()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    fams, err = bench._run_multi_subprocess(300.0)
+    assert err is None
+    assert set(fams) == {"epoch", "pallas"}  # error + skip filtered out
+    assert fams["pallas"] == {"pallas_sweep_solves_per_sec": 4500.0}
+
+
 def test_bench_multi_subprocess_lands_all_families_fresh(tmp_path,
                                                          monkeypatch,
                                                          capsys):
