@@ -297,6 +297,47 @@ def test_bench_headline_only_fallback_on_degraded_tunnel(tmp_path,
     assert written["nnf_sinewave_epoch_time"] == 0.1653
 
 
+def test_bench_carried_popsweep_still_heads_the_record(tmp_path,
+                                                       monkeypatch,
+                                                       capsys):
+    """2026-08-20 hazard: the tunnel's heavy-work-stall mode times out
+    ONLY the popsweep case; with a fresh lockstep (610 solves/s) and the
+    popsweep merely carried, the emitted headline collapsed 13,139 -> 610.
+    A carried popsweep family must still promote into the headline,
+    tagged headline_carried_from."""
+    import bench
+
+    prior = {"measured_at": "2026-08-20T05:02:20",
+             "pallas_popsweep_solves_per_sec": 13139.0,
+             "pallas_popsweep_members": 64,
+             "pallas_popsweep_protocols": 32,
+             "pallas_popsweep_mfu_bf16_peak": 0.40073,
+             "pallas_popsweep_achieved_gflops": 78942.3,
+             "pallas_popsweep_us_per_trip": 62.43,
+             "pallas_popsweep_trips": 2496}
+    last = tmp_path / "tpu_last.json"
+    last.write_text(json.dumps(prior))
+    monkeypatch.setattr(bench, "TPU_LAST_FILE", str(last))
+    monkeypatch.setattr(bench, "_probe_backend", lambda t: (True, None))
+    monkeypatch.setattr(bench, "get_epoch_baseline", lambda: 28.44)
+    # headline-first AND the retry popsweep attempts both stall
+    monkeypatch.setattr(bench, "_run_measure_subprocess",
+                        lambda b, t: (None, f"{b} measurement timed out"))
+    fams = {"tpu": {"solves_per_sec": 610.2, "batch": 512, "scaling": []},
+            "epoch": {"nnf_sinewave_epoch_time": 0.1059}}
+    monkeypatch.setattr(bench, "_run_multi_subprocess",
+                        lambda tmo: (dict(fams), None))
+    monkeypatch.setenv("IONFLUX_BENCH_BUDGET", "540")
+    bench.main()
+    line = [l for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["value"] == 13139.0
+    assert rec["headline_carried_from"] == "2026-08-20T05:02:20"
+    assert rec["lockstep_solves_per_sec"] == 610.2
+    assert rec["nnf_sinewave_epoch_time"] == 0.1059
+
+
 def test_bench_measure_multi_child_isolates_and_budget_skips(monkeypatch,
                                                              capsys):
     """The --measure multi child must (a) print one tagged JSON line per
