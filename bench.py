@@ -665,11 +665,43 @@ def measure_epoch(force_cpu: bool = False) -> dict:
 
     y0 = jnp.tile(jnp.array([0.0, 1.0], jnp.float32),
                   (EPOCH_VAL_ROLLOUTS, 1))
-    val = jax.jit(lambda net: odeint_batched(
-        rhs, y0, ts, (net, proto), rtol=1e-5, atol=1e-7, buffer_size=4096))
-    out = val(params.net)
-    out.block_until_ready()
-    assert bool(jnp.all(jnp.isfinite(out))), "validation rollout diverged"
+    val = None
+    val_kernel = "xla-lockstep"
+    if not force_cpu:
+        # the SHIPPED validation path on TPU: run_study_validated scores
+        # rollouts through the fused Pallas sweep kernel, not the XLA
+        # lockstep — the bench epoch's validation component mirrors it
+        # (2 rollout lanes ride one 128-lane launch; ~4 us/trip vs the
+        # lockstep's ~21 us/step while-loop, trace in out/bench-traces)
+        from ionflux.ops.pallas_solve import fused_nnf_solve_ft
+
+        # full 128-lane tile: lanes ride nearly free in this kernel, the
+        # (n_pad=80k, trips=4096, b=128) shape shares the sweep case's
+        # cached Mosaic compile, and timing 128 lanes to report a
+        # 2-rollout validation is conservative (64x the required work)
+        # the protocol image must ride as a jit ARGUMENT (the sweep case's
+        # shape): closed over, the 41 MB [128, 80384] vpad constant-folds
+        # into the program and blows the 16 MB scoped-VMEM stack
+        protos_v2 = jnp.tile(proto.v[None], (128, 1))
+        try:
+            vfp = jax.jit(lambda net, v: fused_nnf_solve_ft(
+                net, HH_B06, v, ts, proto_dt=0.1, trips=4096,
+                t_end=8000.0))
+            out = vfp(params.net, protos_v2)
+            out.block_until_ready()
+            assert bool(jnp.all(jnp.isfinite(out))), "pallas val diverged"
+            val = lambda net: vfp(net, protos_v2)  # noqa: E731
+            val_kernel = "pallas-sweep"
+        except Exception as exc:  # pragma: no cover - degraded chip path
+            log(f"epoch val via pallas sweep kernel unavailable ({exc}); "
+                "falling back to the XLA lockstep")
+    if val is None:
+        val = jax.jit(lambda net: odeint_batched(
+            rhs, y0, ts, (net, proto), rtol=1e-5, atol=1e-7,
+            buffer_size=4096))
+        out = val(params.net)
+        out.block_until_ready()
+        assert bool(jnp.all(jnp.isfinite(out))), "validation rollout diverged"
     with _trace_ctx("epoch-val"):
         t_val, reps_v = _median_reps(lambda: val(params.net), n_rep)
 
@@ -679,7 +711,8 @@ def measure_epoch(force_cpu: bool = False) -> dict:
         f"{epoch:.3f}s")
     return {"nnf_sinewave_epoch_time": round(epoch, 4),
             "epoch_train_seconds": round(t_train, 4),
-            "epoch_val_seconds": round(t_val, 4)}
+            "epoch_val_seconds": round(t_val, 4),
+            "epoch_val_kernel": val_kernel}
 
 
 def measure_torch_epoch_baseline() -> float:
