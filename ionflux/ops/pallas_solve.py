@@ -539,7 +539,13 @@ def fused_nnf_solve_ft(
             pltpu.VMEM((256, 7, 2, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # match the popsweep kernel's scoped-VMEM cap: under the
+            # default 16 MB, XLA memory assignment pins the ~30 MB record
+            # stream to VMEM when this kernel sits inside a scan body
+            # (chained dispatch) and the program fails to compile
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(vpad, *ws, *bs)
 
