@@ -95,6 +95,40 @@ def test_fused_nnf_fixed_trip_insufficient_trips_sentinel():
     assert not bool(jnp.isfinite(ys).all())
 
 
+def test_fused_sweep_chained_scan_matches_single_launches():
+    """Chained dispatch (bench round 5 / the score-K-checkpoints replay):
+    K sweep launches inside one lax.scan must return exactly the
+    single-launch results per step — the record streams are consumed
+    inside the scan body, the shape that needed the kernel's scoped-VMEM
+    cap raised on chip."""
+    from ionflux.ops.pallas_solve import fused_nnf_solve_ft
+
+    protos = P.stack([P.activation_protocol(v, dt_ms=1.0)
+                      for v in (-40.0, 20.0)])
+    ts = jnp.linspace(0.0, 8000.0, 161, dtype=jnp.float32)
+    base = nnf_init(jax.random.PRNGKey(0), HH_B06, n_layers=1, n_nodes=16)
+    k = 2
+    stacked = jax.tree.map(
+        lambda x: jnp.stack([x * (1.0 + 1e-3 * (kk + 1))
+                             for kk in range(k)]), list(base.net))
+
+    def _ck(carry, net_k):
+        ys = fused_nnf_solve_ft([(w, b) for w, b in net_k], HH_B06,
+                                protos.v, ts, proto_dt=1.0, trips=2048,
+                                t_end=8000.0, interpret=True)
+        return carry, ys
+
+    _, chained = jax.lax.scan(_ck, jnp.float32(0.0), stacked)
+    assert bool(jnp.all(jnp.isfinite(chained)))
+    for kk in range(k):
+        net_k = jax.tree.map(lambda x: x[kk], stacked)
+        single = fused_nnf_solve_ft([(w, b) for w, b in net_k], HH_B06,
+                                    protos.v, ts, proto_dt=1.0, trips=2048,
+                                    interpret=True)
+        np.testing.assert_allclose(np.asarray(chained[kk]),
+                                   np.asarray(single), atol=1e-6)
+
+
 def test_fused_nnf_pop_solve_matches_batched_lockstep():
     """Per-lane-weights fixed-trip kernel (the CMA-ES/population workload:
     B member nets, one shared protocol) vs the XLA batched-lane solver."""
