@@ -1122,7 +1122,7 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
                              rtol: float, atol: float, trips: int, p: int,
                              q: int, block: int, base_a: tuple = (),
                              cull: bool = True, mxu_bf16: bool = False,
-                             fold_bias: bool = False):
+                             fold_bias: bool = False, q_split: int = 1):
     p5, p6, p7, p8 = rgate
     inv_dt = 1.0 / dt_knot
     A = [[float(x) for x in row] for row in _A]
@@ -1138,19 +1138,20 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
          m_out_ref) = refs[n_layers + nb:n_layers + nb + 5]
         vm_sc, vm_y, vm_k, sems = refs[n_layers + nb + 5:]
 
-        def voltage(t):
-            # Q per-protocol knot rows, one shared clock: [Q] voltages
+        def voltage(t, r0=0, nq=q):
+            # nq per-protocol knot rows starting at static row r0, one
+            # shared clock: [nq] voltages
             x = (t - t0) * inv_dt
             ii = jnp.clip(jnp.floor(x).astype(jnp.int32), 0,
                           n_knots_padded - 130)
             w = x - ii.astype(jnp.float32)
             base = pl.multiple_of((ii // 128) * 128, 128)
             off = ii - base
-            chunk = v_ref[:, pl.ds(base, 256)]                  # [Q, 256]
+            chunk = v_ref[pl.ds(r0, nq), pl.ds(base, 256)]      # [nq, 256]
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
             v0 = jnp.sum(jnp.where(lane == off, chunk, 0.0), axis=1)
             v1 = jnp.sum(jnp.where(lane == off + 1, chunk, 0.0), axis=1)
-            return v0 + w * (v1 - v0)                           # [Q]
+            return v0 + w * (v1 - v0)                           # [nq]
 
         def mlp(x):                                             # x [P, Q, n]
             h = x
@@ -1177,11 +1178,12 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
                     h = jnp.where(h >= 0, h, 0.01 * h)
             return h                                            # [P, Q, 1]
 
-        def rhs(t, y):                                          # y [P, Q, 2]
-            v = voltage(t)                                      # [Q]
-            vn = jnp.broadcast_to(v[None, :] / VRANGE, (p, q))
+        def rhs(t, y, r0=0):                                # y [P, nq, 2]
+            nq = y.shape[1]
+            v = voltage(t, r0, nq)                              # [nq]
+            vn = jnp.broadcast_to(v[None, :] / VRANGE, (p, nq))
             x = jnp.stack([vn, y[:, :, 0]], axis=-1)
-            dadt = mlp(x)[:, :, 0] / NETSCALE                   # [P, Q]
+            dadt = mlp(x)[:, :, 0] / NETSCALE                   # [P, nq]
             if base_a:
                 p1, p2, p3, p4 = base_a
                 k1 = p1 * jnp.exp(p2 * v)
@@ -1193,20 +1195,33 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
             drdt = -k3[None] * y[:, :, 1] + k4[None] * (1.0 - y[:, :, 1])
             return jnp.stack([dadt, drdt], axis=-1)
 
+        assert q % q_split == 0
+        qc = q // q_split
+
+        def rhs_all(t, y):
+            # full-width RHS, chunked over Q when q_split > 1 so no more
+            # than [P, qc, hidden] of MLP intermediates is live at once
+            if q_split == 1:
+                return rhs(t, y)
+            return jnp.concatenate(
+                [rhs(t, y[:, ci * qc:(ci + 1) * qc], ci * qc)
+                 for ci in range(q_split)], axis=1)
+
         # initial state arrives packed like the records: [2Q, 128] ->
         # [P, Q, 2] (the inverse of _pad_rec) so chained launches can carry
         # the previous segment's final state in
         y0 = jnp.transpose(y0_ref[...][:, :p].reshape(q, 2, p), (2, 0, 1))
-        f0 = rhs(jnp.float32(t0), y0)
+        f0 = rhs_all(jnp.float32(t0), y0)
 
         def _pad_rec(arr):
-            # [P, Q, 2] -> [Q*2, 128]: (protocol, state) in sublanes,
+            # [P, nq, 2] -> [nq*2, 128]: (protocol, state) in sublanes,
             # members in lanes (padded)
-            at = jnp.transpose(arr, (1, 2, 0)).reshape(q * 2, p)
+            nq = arr.shape[1]
+            at = jnp.transpose(arr, (1, 2, 0)).reshape(nq * 2, p)
             if p == 128:
                 return at
             return jnp.concatenate(
-                [at, jnp.zeros((q * 2, 128 - p), jnp.float32)], axis=1)
+                [at, jnp.zeros((nq * 2, 128 - p), jnp.float32)], axis=1)
 
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)[0]
 
@@ -1283,6 +1298,79 @@ def _make_kernel_popsweep_ft(n_layers: int, n_knots_padded: int, t0: float,
             h = h_eff * jnp.clip(factor, _MINF,
                                  jnp.where(accept, _MAXF, 1.0))
             return (t, y, f, h, n_acc, alive, r_c)
+
+        def body_split(i, state):
+            # q_split > 1 trip body: the stage math is independent per
+            # (member, protocol) lane — only the accept max couples rows —
+            # so the RK stage chain runs per Q-chunk, and each chunk's
+            # records land in the VMEM ring BEFORE the next chunk starts,
+            # bounding the live MLP intermediates to [P, qc, hidden] plus
+            # one chunk's 7-stage ks.  This is the two-pass working-set
+            # split the 64x64 scoped-VMEM OOM frontier calls for (ROADMAP
+            # round-5 probe).  Controller semantics are bit-identical to
+            # `body` per element; the max reduces the concatenated chunks
+            # exactly as before.
+            (t, y, f, h, n_acc, alive, _r_prev) = state
+            alive_b = alive > 0.5
+            h_eff = jnp.maximum(jnp.minimum(h, t_end - t), 1e-8)
+            y1_cs, err_cs, f7_cs = [], [], []
+            for ci in range(q_split):
+                sl = slice(ci * qc, (ci + 1) * qc)
+                y_c = y[:, sl]
+                ks = [f[:, sl]]
+                for si in range(1, 7):
+                    yi = y_c
+                    for sj in range(si):
+                        if A[si][sj] != 0.0:
+                            yi = yi + (h_eff * A[si][sj]) * ks[sj]
+                    ks.append(rhs(t + C[si] * h_eff, yi, ci * qc))
+                y1_c = y_c
+                err_c = jnp.zeros_like(y_c)
+                for sj in range(7):
+                    if BS[sj] != 0.0:
+                        y1_c = y1_c + (h_eff * BS[sj]) * ks[sj]
+                    if BE[sj] != 0.0:
+                        err_c = err_c + (h_eff * BE[sj]) * ks[sj]
+                # this chunk's record rows (trip attempt: start y + stages)
+                # go to the ring now so the chunk's intermediates die here
+                vm_y[pl.ds(i, 1), pl.ds(ci * qc * 2, qc * 2), :] = (
+                    _pad_rec(y_c)[None])
+                vm_k[pl.ds(i, 1), :, pl.ds(ci * qc * 2, qc * 2), :] = (
+                    jnp.stack([_pad_rec(k) for k in ks])[None])
+                y1_cs.append(y1_c)
+                err_cs.append(err_c)
+                f7_cs.append(ks[6])
+            y1 = jnp.concatenate(y1_cs, axis=1)
+            err = jnp.concatenate(err_cs, axis=1)
+            f7 = jnp.concatenate(f7_cs, axis=1)
+            scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y1))
+            # identical shared-accept / per-lane-death / sentinel algebra
+            # as `body` (see the comments there)
+            r_pq = jnp.sqrt(jnp.mean((err / scale) ** 2, axis=-1))  # [P, Q]
+            r_pq = r_pq + (scale[:, :, 0] + scale[:, :, 1]) * 0.0
+            lane_bad = ~(r_pq < jnp.float32(jnp.inf))       # nan or inf
+            r_c = jnp.where(lane_bad, jnp.float32(3.4e38), r_pq)
+            ratio = jnp.max(jnp.where(alive_b, r_c, 0.0))
+            accept = ratio <= 1.0
+            lane_pass = ~lane_bad & (r_pq <= 1.0)
+            alive_b = alive_b & (lane_pass | (h_eff > 2e-7))
+            alive = alive_b.astype(jnp.float32)
+            adv = (accept & alive_b)[..., None]                     # [P,Q,1]
+            sc = jnp.where(lane128 == 0, t,
+                           jnp.where(lane128 == 1, h_eff, 0.0))
+            vm_sc[pl.ds(i, 1), :] = sc[None]
+            t = jnp.where(accept, t + h_eff, t)
+            y = jnp.where(adv, y1, y)
+            f = jnp.where(adv, f7, f)
+            n_acc = n_acc + accept.astype(jnp.int32)
+            factor = _SAFETY * jnp.exp(
+                -0.2 * jnp.log(jnp.maximum(ratio, 1e-10)))
+            h = h_eff * jnp.clip(factor, _MINF,
+                                 jnp.where(accept, _MAXF, 1.0))
+            return (t, y, f, h, n_acc, alive, r_c)
+
+        if q_split > 1:
+            body = body_split  # the chunked trip body replaces `body`
 
         # lanes arriving non-finite (chained carry marks dead lanes NaN)
         # are dead from the start; their state resets to rest so the RHS
@@ -1386,6 +1474,7 @@ def fused_nnf_popsweep_solve_ft(
     cull: bool = True,
     mxu_bf16: bool = False,
     vmem_limit_mb: int = 100,
+    q_split: int = 1,
     interpret: bool = False,
 ):
     """Fixed-trip fused solve for P member nets x Q protocols concurrently
@@ -1408,6 +1497,14 @@ def fused_nnf_popsweep_solve_ft(
     throughput change at P=64 (the resident population fits VMEM either
     way).  On CPU/interpret backends, where f32 dots are genuine f32,
     the truncation changes results by ~2^-8 relative.
+    q_split > 1 chunks the trip body's RK stage chain over Q (the stage
+    math is lane-independent; only the accept max couples rows), bounding
+    the live MLP intermediates to [P, Q/q_split, hidden] per chunk — the
+    two-pass working-set split for frontier configs past the single-pass
+    scoped-VMEM wall (ROADMAP round-5 probe).  Numerically the same
+    trajectory (bit-exact at q_split=2 in interpret mode; a backend may
+    reorder a dot's K reduction for very small M, so qc=1 chunks can
+    differ at f32 rounding level).
     Returns ys [P, Q, T, 2]."""
     p = nets[0][0].shape[0]
     q_req, n = protos_v.shape
@@ -1416,7 +1513,7 @@ def fused_nnf_popsweep_solve_ft(
     # {3,5,6} hard-fault the chip backend): pad Q by duplicating the last
     # protocol row and slice the members' rows back at the end
     q = max(2, 1 << (q_req - 1).bit_length())
-    if q > POPSWEEP_MAX_ROWS and not interpret:
+    if q > POPSWEEP_MAX_ROWS * max(1, int(q_split)) and not interpret:
         # past 2Q=64 record sublanes the VMEM record ring shrinks below
         # a useful block and the layout is unprobed on the chip backend
         # (the q<=8 ceiling was a Mosaic bias-broadcast fault, bisected
@@ -1484,7 +1581,8 @@ def fused_nnf_popsweep_solve_ft(
         base_a=(tuple(float(x) for x in
                       (base_hh.p1, base_hh.p2, base_hh.p3, base_hh.p4))
                 if base_hh is not None else ()),
-        cull=cull, mxu_bf16=mxu_bf16, fold_bias=fold_bias)
+        cull=cull, mxu_bf16=mxu_bf16, fold_bias=fold_bias,
+        q_split=int(q_split))
 
     rec_sc, rec_y, rec_k, n_acc, m_pack = pl.pallas_call(
         kernel,

@@ -50,9 +50,15 @@ def run_one(cfg: str, trips: int, reps: int) -> dict:
     # :vNNN raises the kernel's scoped-VMEM cap (MB) — v5e has 128 MB;
     # the 64x64 f32 frontier config needs 105.05M vs the 100M default
     vmem_mb = 100
+    q_split = 1
     for f in parts[1:]:
         if f.startswith("v") and f[1:].isdigit():
             vmem_mb = int(f[1:])
+        # :sN chunks the trip body's stage chain over Q (two-pass
+        # working-set split, pallas_solve q_split) — the round-5 answer
+        # to the 64x64 scoped-VMEM OOM
+        if f.startswith("s") and f[1:].isdigit():
+            q_split = int(f[1:])
 
     import jax
     import jax.numpy as jnp
@@ -82,7 +88,7 @@ def run_one(cfg: str, trips: int, reps: int) -> dict:
     fused = jax.jit(lambda ns: pallas_solve.fused_nnf_popsweep_solve_ft(
         [(w, bb) for w, bb in ns], HH_B06, protos_v, ts, proto_dt=0.1,
         trips=trips, t_end=8000.0, mxu_bf16=mxu_bf16,
-        vmem_limit_mb=vmem_mb))
+        vmem_limit_mb=vmem_mb, q_split=q_split))
     t_w = time.perf_counter()
     ys = fused(pop_net)
     # value fetch IS the sync (axon block_until_ready is unreliable)
@@ -105,7 +111,7 @@ def run_one(cfg: str, trips: int, reps: int) -> dict:
     stats = jax.jit(lambda ns: pallas_solve.fused_nnf_popsweep_solve_ft(
         [(w, bb) for w, bb in ns], HH_B06, protos_v, ts, proto_dt=0.1,
         trips=trips, t_end=8000.0, mxu_bf16=mxu_bf16,
-        vmem_limit_mb=vmem_mb,
+        vmem_limit_mb=vmem_mb, q_split=q_split,
         return_records=True).n_valid)
     n_trips = int(stats(pop_net))
     flops = (n_trips * bench.EVALS_PER_STEP * p_mem * q
@@ -113,7 +119,7 @@ def run_one(cfg: str, trips: int, reps: int) -> dict:
     return {
         "case": "popsweep-remat", "config": cfg,
         "members": p_mem, "protocols": q, "mxu_bf16": mxu_bf16,
-        "vmem_limit_mb": vmem_mb,
+        "vmem_limit_mb": vmem_mb, "q_split": q_split,
         "trips_budget": trips, "trips_executed": n_trips,
         "finite": finite, "warm_first_s": round(warm_s, 2),
         "median_s": round(dt, 4),

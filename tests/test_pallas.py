@@ -317,6 +317,37 @@ def test_popsweep_fold_bias_q16_parity():
     assert float(jnp.max(jnp.abs(ys16 - ref))) < 5e-3
 
 
+def test_popsweep_q_split_trip_body_parity():
+    """q_split > 1 chunks the trip body's RK stage chain over Q (the
+    two-pass working-set split for configs past the single-pass
+    scoped-VMEM wall, ROADMAP round 5).  The stage math is independent
+    per (member, protocol) lane and the shared-accept max reduces the
+    concatenated chunks exactly as the single-pass body does, so
+    q_split=2 must be BIT-exact vs q_split=1 (qc=1 chunks may differ at
+    f32 rounding level if the backend reorders tiny-M dot reductions —
+    held to solver tolerance)."""
+    from ionflux.ops.pallas_solve import fused_nnf_popsweep_solve_ft
+
+    p_mem = 3
+    pop = jax.vmap(lambda k: nnf_init(k, HH_B06, n_layers=1,
+                                      n_nodes=16).net)(
+        jax.random.split(jax.random.PRNGKey(1), p_mem))
+    nets = [(w, b) for w, b in pop]
+    levels = (-40.0, 20.0, 0.0, -20.0)
+    protos = P.stack([P.activation_protocol(v, dt_ms=1.0)
+                      for v in levels])
+    ts = jnp.linspace(0.0, 8000.0, 161, jnp.float32)
+    kw = dict(proto_dt=1.0, trips=2048, interpret=True)
+    ys1 = fused_nnf_popsweep_solve_ft(nets, HH_B06, protos.v, ts, **kw)
+    ys2 = fused_nnf_popsweep_solve_ft(nets, HH_B06, protos.v, ts,
+                                      q_split=2, **kw)
+    ys4 = fused_nnf_popsweep_solve_ft(nets, HH_B06, protos.v, ts,
+                                      q_split=4, **kw)
+    assert bool(jnp.all(jnp.isfinite(ys1)))
+    assert float(jnp.max(jnp.abs(ys2 - ys1))) == 0.0
+    assert float(jnp.max(jnp.abs(ys4 - ys1))) < 5e-3
+
+
 def test_popsweep_q_row_guard_and_split():
     """The kernel refuses protocol families past POPSWEEP_MAX_ROWS with a
     clear error (the old q<=8 ceiling — a Mosaic bias-broadcast fault —
