@@ -1683,6 +1683,8 @@ def fused_nnf_popsweep_chained(
     base_hh: HHParams | None = None,
     y0: jnp.ndarray | None = None,
     cull: bool = True,
+    mxu_bf16: bool = False,
+    q_split: int = 1,
     interpret: bool = False,
     consume=None,
     ts: jnp.ndarray | None = None,
@@ -1713,7 +1715,8 @@ def fused_nnf_popsweep_chained(
             nets, rgate, seg_v[b], jnp.asarray([t_end], jnp.float32),
             proto_dt=proto_dt, t_end=t_end, rtol=rtol, atol=atol,
             trips=trips, base_hh=base_hh, y0=y0, return_records=True,
-            cull=cull, interpret=interpret)
+            cull=cull, mxu_bf16=mxu_bf16, q_split=q_split,
+            interpret=interpret)
         y0 = recs.final_state(t_end)
         if consume is not None:
             consume(b, recs)
